@@ -1,0 +1,282 @@
+"""Link-extraction parsers: html, text, css.
+
+From-scratch Python re-implementations of the reference's builtin
+parsers (/root/reference/src/libmetha/html.c:101-342 ``lm_parser_html``,
+builtin.c:139-201 ``lm_extract_css_urls``/``lm_extract_text_urls``).
+Each returns the ordered list of raw href strings found — admission
+(canonicalize + dedup) happens downstream, mirroring the reference
+where parsers call ``ue_add`` per found string.
+
+Semantics preserved:
+
+- html: fault-tolerant tag scan; quote-aware tag-end detection; only
+  the FIRST href/src attribute per tag is taken (html.c:330-334);
+  values starting with '#' are skipped; CURIE values ``[prefix:ref]``
+  expand via ``xmlns:prefix`` declarations on the <html> tag;
+  <style> tag content goes through the CSS extractor; <script> and
+  <textarea> content is skipped (stub handlers in the reference);
+  tag-name matching is prefix-based (parse_tag html.c:283-287:
+  "<stylesheet" matches "style" — QUIRK preserved).
+- text: finds "http://" / "ftp://" substrings (case-sensitive, https
+  NOT matched) and extends over the charset [A-Za-z0-9%?=&/.]; a URL
+  running to end-of-buffer is NOT emitted (builtin.c:185-195).
+  DOCUMENTED DIVERGENCE: the reference's bounds check
+  ``p-e >= protocols[x].len`` (builtin.c:184) compares a negative
+  pointer difference against a positive int, so it is always false
+  and the reference's text parser extracts nothing — dead code by an
+  apparent sign bug (p-e vs p-start). We implement the documented
+  intent; the crawl is otherwise identical because admission rules
+  are unchanged.
+- css: ``url(...)`` forms, quoted or bare; without parens the value
+  runs to the closing quote or ';' (builtin.c:139-164). The reference
+  emits an empty href for ``url ""`` (quote found at scan start);
+  empty hrefs are dropped by our admission (the reference's behavior
+  there reads adjacent memory — not reproducible).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+# special tags whose content is handled out-of-band (html.c:70-75)
+_SPECIAL_TAGS = (("script", None), ("style", "css"), ("textarea", None))
+
+_WS = " \t\r\n\f\v"
+
+
+def _is_space(c: str) -> bool:
+    return c in _WS
+
+
+def _find_tag_end(body: str, start: int) -> Tuple[int, int]:
+    """Quote-aware scan for the tag's '>' from ``start`` (position of
+    '<'). Returns (tag_begin, tag_end) where tag_end is the index of
+    '>'; a '<' inside the tag restarts it (fault tolerance,
+    html.c:120-148). Returns (tb, -1) when no '>' is found."""
+    tb = start
+    s = start + 1
+    n = len(body)
+    while s < n:
+        c = body[s]
+        if c == "=":
+            s += 1
+            if s >= n:
+                break
+            q = body[s]
+            if q == '"' or q == "'":
+                nxt = body.find(q, s + 1)
+                if nxt < 0:
+                    return tb, -1
+                s = nxt
+            else:
+                while s < n and body[s] != ">" and not _is_space(body[s]):
+                    s += 1
+                if s < n and body[s] == ">":
+                    return tb, s
+                continue
+        elif c == "<":
+            tb = s
+        elif c == ">":
+            return tb, s
+        s += 1
+    return tb, -1
+
+
+def _next_attr(tag: str, pos: int) -> Optional[Tuple[str, str, int]]:
+    """One (attr, value) from the tag body (html.c:219-271
+    ``tag_next_attr``). Returns (name, value, next_pos) or None."""
+    n = len(tag)
+    p = pos
+    while p < n:
+        while p < n and _is_space(tag[p]):
+            p += 1
+        attr_start = p
+        attr_len = -1
+        while p < n:
+            if _is_space(tag[p]):
+                attr_len = p - attr_start
+                p += 1
+                while p < n and _is_space(tag[p]):
+                    p += 1
+                if p < n and tag[p] != "=":
+                    # QUIRK (html.c:233-240): attr start is NOT reset,
+                    # so a bare attribute contaminates the next name
+                    # ("<a disabled href=x>" yields name "disabled href"
+                    # and the link is missed)
+                    continue
+                break
+            if tag[p] == "=":
+                attr_len = p - attr_start
+                break
+            p += 1
+        if attr_len < 0 or p >= n:
+            return None
+        p += 1  # past '='
+        while p < n and _is_space(tag[p]):
+            p += 1
+        if p >= n:
+            return None
+        q = tag[p]
+        if q == '"' or q == "'":
+            end = tag.find(q, p + 1)
+            if end < 0:
+                end = n
+            val = tag[p + 1 : end]
+            nxt = end + 1
+        else:
+            end = p
+            while end < n and not _is_space(tag[end]) and tag[end] != ">":
+                end += 1
+            val = tag[p:end]
+            nxt = end
+        return tag[attr_start : attr_start + attr_len], val, nxt
+    return None
+
+
+def extract_html_links(body: str) -> List[str]:
+    """Ordered raw hrefs from an HTML document (``lm_parser_html``)."""
+    links: List[str] = []
+    curies: List[Tuple[str, str]] = []
+    n = len(body)
+    body_low = body.lower()
+    p = 0
+    while p < n:
+        lt = body.find("<", p)
+        if lt < 0:
+            break
+        tb, te = _find_tag_end(body, lt)
+        if te < 0:
+            break
+        tag = body[tb + 1 : te]  # without '<' '>'
+        # identify special tags by case-insensitive PREFIX (QUIRK)
+        low = tag.lower()
+        special = None
+        for name, handler in _SPECIAL_TAGS:
+            if len(name) < len(tag) + 1 and low.startswith(name):
+                special = (name, handler)
+                break
+        if special is not None:
+            name, handler = special
+            close = body_low.find("</" + name, te + 1)
+            if close < 0:
+                break
+            content = body[te + 1 : close]
+            if handler == "css":
+                links.extend(extract_css_urls(content))
+            p = close + 2 + len(name) + 1
+            continue
+        if low.startswith("html"):
+            # collect CURIE xmlns: declarations (html.c:288-308)
+            pos = 4  # past 'html' within the tag body
+            while True:
+                nxt = _next_attr(tag, pos)
+                if nxt is None:
+                    break
+                aname, aval, pos = nxt
+                if len(aname) > 6 and aname.lower().startswith("xmlns:"):
+                    curies.append((aname[6:], aval))
+        else:
+            # skip the tag name, then scan attributes
+            pos = 0
+            while pos < len(tag) and not _is_space(tag[pos]):
+                pos += 1
+            while True:
+                nxt = _next_attr(tag, pos)
+                if nxt is None:
+                    break
+                aname, aval, pos = nxt
+                an = aname.lower()
+                if an == "href" or an == "src":
+                    if aval[:1] == "[" and curies:
+                        for prefix, url in curies:
+                            if (
+                                len(aval) > len(prefix) + 3
+                                and aval[1 : 1 + len(prefix)].lower()
+                                == prefix.lower()
+                                and aval[1 + len(prefix)] == ":"
+                            ):
+                                links.append(
+                                    url + aval[2 + len(prefix) : -1]
+                                )
+                                break
+                    elif aval[:1] != "#" and aval:
+                        links.append(aval)
+                    break  # only the first href/src per tag
+        p = te + 1
+    return links
+
+
+_TEXT_ALLOWED = re.compile(r"[A-Za-z0-9%?=&/.]")
+
+
+def extract_text_urls(body: str) -> List[str]:
+    """Ordered raw URLs from plain text (intended ``lm_extract_text_urls``
+    semantics; see module docstring for the reference's dead-code bug).
+    Only http:// and ftp:// (case-sensitive); charset-delimited; a URL
+    reaching end-of-buffer is not emitted."""
+    links: List[str] = []
+    n = len(body)
+    p = body.find("://")
+    while p >= 0 and p < n:
+        start = None
+        if p >= 4 and body[p - 4 : p] == "http":
+            start = p - 4
+        elif p >= 3 and body[p - 3 : p] == "ftp":
+            start = p - 3
+        if start is not None:
+            s = p + 3
+            emitted = False
+            while s < n:
+                if not _TEXT_ALLOWED.match(body[s]):
+                    links.append(body[start:s])
+                    emitted = True
+                    break
+                s += 1
+            # QUIRK: URL at end-of-buffer is never emitted
+            p = body.find("://", s + 1) if s + 1 < n else -1
+        else:
+            p = body.find("://", p + 1)
+    return links
+
+
+def extract_css_urls(body: str) -> List[str]:
+    """Ordered raw URLs from CSS (``lm_extract_css_urls``)."""
+    links: List[str] = []
+    n = len(body)
+    p = body.find("url")
+    while p >= 0:
+        p += 3
+        while p < n and _is_space(body[p]):
+            p += 1
+        if p >= n:
+            break
+        if body[p] == "(":
+            p += 1
+            while p < n and _is_space(body[p]):
+                p += 1
+            if p >= n:
+                break
+            if body[p] == '"':
+                term = '")'
+                p += 1
+            elif body[p] == "'":
+                term = "')"
+                p += 1
+            else:
+                term = ")"
+        else:
+            if body[p] == '"':
+                term = '"'
+            elif body[p] == "'":
+                term = "'"
+            else:
+                term = ";"
+        s = body.find(term, p)
+        if s < 0:
+            p = body.find("url", p)
+            continue
+        if s > p:
+            links.append(body[p:s])
+        p = body.find("url", s)
+    return links
