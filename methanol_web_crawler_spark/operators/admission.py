@@ -1,0 +1,170 @@
+"""Link admission: canonicalize -> classify -> route.
+
+The scalar core shared by the pure-Python oracle and the Spark
+pandas-UDF wrappers (udfs.py). Mirrors the reference's admission flow,
+which runs at link-extraction time (ue_add, urlengine.c:170-250) and
+at sort time (lm_worker_sort + lm_worker_bind_url, worker.c:538-714):
+
+1. resolve the raw href against the base URL (relative/absolute,
+   unknown protocol -> dropped before the seen set);
+2. seen-set insertion happens HERE, before classification — URLs that
+   classification later discards still occupy the seen set (QUIRK);
+3. classify via the ftindex decision tree; POSSIBLE_MATCH rows are
+   resolved by content-type (the reference's HTTP HEAD — here a
+   lookup/join against the docs table);
+4. route: discard | target (no parser -> emitted without fetching,
+   worker.c:675-714) | frontier (parser filetypes, depth+1) |
+   external handling (drop for non-external crawlers unless the
+   filetype has ignore_host).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+from ..config import CrawlConfig
+from ..functions.canonicalize import ParsedUrl, add_url, parse_url
+from ..functions.classify import FT, HEAD, FtIndex
+
+# routing outcomes
+R_DISCARD = "discard"
+R_TARGET = "target"
+R_FRONTIER = "frontier"
+R_EXTERNAL = "external"  # parked for per-host adoption (EXTERNAL crawlers)
+
+
+@dataclass
+class Admission:
+    """One admitted link candidate after canonicalize+classify+route."""
+
+    parsed: ParsedUrl
+    route: str
+    filetype: Optional[str]
+    ft_rank: int
+    is_external: bool
+
+
+def admit_link(
+    base: Optional[ParsedUrl],
+    href: str,
+    idx: FtIndex,
+    config: CrawlConfig,
+    seen_tryadd: Callable[[str], bool],
+    content_type_of: Callable[[str], Optional[str]],
+    base_external: bool = False,
+) -> Optional[Admission]:
+    """Admit one raw href. Returns None when nothing enters the
+    pipeline (bad URL or already seen); an Admission with
+    route=R_DISCARD when the URL entered the seen set but was dropped
+    by classification (the distinction matters for seen-set parity).
+
+    ``seen_tryadd(key) -> bool`` is the mtrie_tryadd equivalent: True
+    when newly added. ``content_type_of(url)`` resolves POSSIBLE_MATCH
+    rows (the reference's HEAD request).
+    """
+    res = add_url(base, href)
+    if res is None:
+        return None
+    parsed, external = res
+    if base_external and not external:
+        # relative links inherit the parent's EXTERNAL flag
+        # (lm_url_combine keeps flags & ~DYNAMIC, url.c:296)
+        external = True
+    if not seen_tryadd(parsed.seen_key):
+        return None  # already crawled or queued
+
+    kind, name = idx.match_by_url(parsed)
+    if kind == HEAD:
+        mime = content_type_of(parsed.url)
+        name = idx.match_by_mime(mime) if mime else None
+        kind = FT if name else None
+    if kind != FT or name is None:
+        return Admission(parsed, R_DISCARD, None, len(idx.ft_list), external)
+
+    ft = config.filetype(name)
+    rank = config.filetype_rank(idx.crawler.name, name)
+
+    if ft.is_target_only:
+        # no parser chain: target emitted at sort time, never fetched
+        return Admission(parsed, R_TARGET, name, rank, external)
+
+    if external and not ft.ignore_host:
+        if idx.crawler.external or idx.crawler.external_peek:
+            return Admission(parsed, R_EXTERNAL, name, rank, external)
+        return Admission(parsed, R_DISCARD, name, rank, external)
+
+    return Admission(parsed, R_FRONTIER, name, rank, external)
+
+
+def admit_seed(
+    raw: str,
+    idx: FtIndex,
+    config: CrawlConfig,
+    seen_tryadd: Callable[[str], bool],
+    content_type_of: Callable[[str], Optional[str]],
+) -> Optional[Admission]:
+    """Seed admission (ue_add_initial + the initial sort,
+    worker.c:238-246): absolute parse only; bind initial_filetype when
+    the crawler sets one, else classify like any URL. Seeds are never
+    external."""
+    parsed = parse_url(raw)
+    if parsed is None:
+        return None
+    if not seen_tryadd(parsed.seen_key):
+        return None
+    cr = idx.crawler
+    if cr.initial_filetype:
+        name = cr.initial_filetype
+        ft = config.filetype(name)
+        rank = config.filetype_rank(cr.name, name)
+        route = R_TARGET if ft.is_target_only else R_FRONTIER
+        return Admission(parsed, route, name, rank, False)
+    kind, name = idx.match_by_url(parsed)
+    if kind == HEAD:
+        mime = content_type_of(parsed.url)
+        name = idx.match_by_mime(mime) if mime else None
+        kind = FT if name else None
+    if kind != FT or name is None:
+        return Admission(parsed, R_DISCARD, None, len(idx.ft_list), False)
+    ft = config.filetype(name)
+    rank = config.filetype_rank(cr.name, name)
+    route = R_TARGET if ft.is_target_only else R_FRONTIER
+    return Admission(parsed, route, name, rank, False)
+
+
+def extract_links_from_spans(spans: List[dict], parsers: tuple) -> List[str]:
+    """Run the filetype's parser chain over an interleaved text+media
+    span document (BASELINE.json input_hint shape).
+
+    Text spans feed the chain's text-bearing parsers in span order;
+    media spans contribute their media_ref as a link candidate at
+    their position (the synthetic-web equivalent of src attributes the
+    reference's html parser would see). The span *sequence itself* is
+    never altered — the per-row span invariant is preserved upstream.
+    """
+    from ..functions.parsers import (
+        extract_css_urls,
+        extract_html_links,
+        extract_text_urls,
+    )
+
+    links: List[str] = []
+    for span in spans:
+        kind = span["kind"] if isinstance(span, dict) else span.kind
+        text = span["text"] if isinstance(span, dict) else span.text
+        media = span["media_ref"] if isinstance(span, dict) else span.media_ref
+        if kind == "media":
+            if media:
+                links.append(media)
+            continue
+        if not text:
+            continue
+        for parser in parsers:
+            if parser == "html":
+                links.extend(extract_html_links(text))
+            elif parser == "text":
+                links.extend(extract_text_urls(text))
+            elif parser == "css":
+                links.extend(extract_css_urls(text))
+    return links

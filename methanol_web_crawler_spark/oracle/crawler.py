@@ -1,0 +1,373 @@
+"""The BSP reference crawler — golden oracle for the Spark engine.
+
+A single-threaded, dictionary-based implementation of the crawl
+semantics, mirroring the reference's worker loop
+(/root/reference/src/libmetha/worker.c:214-920, urlengine.c:110-450)
+under the ordering contract of SURVEY.md §7:
+
+- the reference's only reproducible ordering is the single-worker one;
+  we normatively re-express it at ROUND granularity (BSP supersteps):
+  one round = all eligible URLs at the current minimum depth, subject
+  to the per-host politeness budget;
+- within a round, fetch order is the deterministic sort key
+  (ft_rank, parent_seq, sibling_ix) — filetype-chain priority first
+  (north-rule "depth + filetype-chain priority"), then admission
+  order;
+- politeness-deferred rows keep their sort key and re-enter in order
+  on a later round at the same depth;
+- admission-time semantics (dedup BEFORE classification, targets
+  emitted without fetch, depth-limit rows admitted-but-never-fetched,
+  robots fetched once per host on depth-0 entry) follow the reference
+  exactly via the shared ``operators.admission`` core.
+
+The Spark engine must match this oracle on: (a) the final seen set
+(exact), (b) the per-round fetched sequence (exact, ordered),
+(c) targets and metrics. Golden tests enforce this.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set, Tuple
+
+from ..config import CrawlConfig
+from ..functions.canonicalize import ParsedUrl, parse_url
+from ..functions.classify import FtIndex
+from ..functions.robots import parse_robots, robots_allows
+from ..operators.admission import (
+    R_DISCARD,
+    R_EXTERNAL,
+    R_FRONTIER,
+    R_TARGET,
+    admit_link,
+    admit_seed,
+    extract_links_from_spans,
+)
+from ..sources.synthweb import SynthDoc
+
+
+@dataclass
+class Row:
+    parsed: ParsedUrl
+    filetype: str
+    ft_rank: int
+    depth: int
+    parent_seq: int
+    sibling_ix: int
+    redirect_count: int = 0
+    external: bool = False
+
+    @property
+    def sort_key(self):
+        return (self.ft_rank, self.parent_seq, self.sibling_ix)
+
+
+@dataclass
+class FetchRecord:
+    round: int
+    seq: int
+    url: str
+    filetype: str
+    depth: int
+    host: str
+    status: int
+
+
+@dataclass
+class Target:
+    url: str
+    filetype: str
+    attributes: Dict[str, str]
+    round: int
+
+
+@dataclass
+class RoundMetrics:
+    round: int
+    depth: int
+    fetched: int = 0
+    admitted: int = 0
+    deduped: int = 0
+    discarded: int = 0
+    targets: int = 0
+    deferred: int = 0
+    robots_fetches: int = 0
+    robots_denied: int = 0
+
+
+@dataclass
+class CrawlResult:
+    seen: Set[str]
+    rounds: List[List[FetchRecord]]
+    targets: List[Target]
+    metrics: List[RoundMetrics]
+
+    @property
+    def fetched_urls(self) -> List[str]:
+        return [r.url for rnd in self.rounds for r in rnd]
+
+
+class OracleCrawler:
+    def __init__(
+        self,
+        doc_map: Dict[str, SynthDoc],
+        config: CrawlConfig,
+        crawler: str = "default",
+        politeness_budget: int = 0,
+        max_rounds: int = 10_000,
+    ):
+        self.doc_map = doc_map
+        self.config = config
+        self.crawler = config.crawler(crawler)
+        self.idx = FtIndex(config, self.crawler)
+        self.budget = politeness_budget
+        self.max_rounds = max_rounds
+        self.robots_enabled = any(c.robotstxt for c in config.crawlers)
+
+    # -- environment lookups ------------------------------------------
+
+    def _content_type_of(self, url: str) -> Optional[str]:
+        d = self.doc_map.get(url)
+        return d.content_type if d else None
+
+    def _body_of(self, doc: SynthDoc) -> str:
+        return "".join(t or "" for (k, t, m, o) in doc.spans if k == "text")
+
+    # -- main loop -----------------------------------------------------
+
+    def run(self, seeds: List[str]) -> CrawlResult:
+        seen: Set[str] = set()
+
+        def tryadd(key: str) -> bool:
+            if key in seen:
+                return False
+            seen.add(key)
+            return True
+
+        pending: List[Row] = []
+        parked: Dict[str, List[Row]] = {}
+        hosts: Dict[str, List[Tuple[bool, str]]] = {}  # identity -> rules
+        jail: Dict[str, str] = {}  # host identity -> jail dir prefix
+        targets: List[Target] = []
+        rounds: List[List[FetchRecord]] = []
+        metrics: List[RoundMetrics] = []
+        seq = 0
+        round_no = 0
+        limit = self.crawler.depth_limit
+
+        for ix, raw in enumerate(seeds):
+            adm = admit_seed(
+                raw, self.idx, self.config, tryadd, self._content_type_of
+            )
+            if adm is None or adm.route == R_DISCARD:
+                continue
+            if adm.route == R_TARGET:
+                targets.append(Target(adm.parsed.url, adm.filetype, {}, 0))
+                continue
+            pending.append(
+                Row(adm.parsed, adm.filetype, adm.ft_rank, 0, -1, ix)
+            )
+
+        while round_no < self.max_rounds:
+            if not pending:
+                if not parked:
+                    break
+                # host-adoption wave: adopted rows re-enter at depth 0
+                # (ue_pop_pending + ue_set_hostent, urlengine.c:623-645)
+                for host in sorted(parked):
+                    for row in parked[host]:
+                        row.depth = 0
+                        pending.append(row)
+                parked.clear()
+                if not pending:
+                    break
+
+            d = min(r.depth for r in pending)
+            eligible = sorted(
+                (r for r in pending if r.depth == d), key=lambda r: r.sort_key
+            )
+            rest = [r for r in pending if r.depth != d]
+
+            m = RoundMetrics(round=round_no, depth=d)
+            selected: List[Row] = []
+            deferred: List[Row] = []
+            per_host: Dict[str, int] = {}
+            for r in eligible:
+                h = r.parsed.host_identity
+                if self.budget and per_host.get(h, 0) >= self.budget:
+                    deferred.append(r)
+                else:
+                    per_host[h] = per_host.get(h, 0) + 1
+                    selected.append(r)
+            m.deferred = len(deferred)
+
+            this_round: List[FetchRecord] = []
+            new_rows: List[Row] = []
+
+            for row in selected:
+                host_id = row.parsed.host_identity
+                # robots fetch on first depth-0 entry of a host
+                # (worker.c:269-283; URL built from the www-stripped
+                # host, worker.c:1002-1004)
+                if (
+                    self.robots_enabled
+                    and row.depth == 0
+                    and host_id not in hosts
+                ):
+                    rob = self.doc_map.get(f"http://{host_id}/robots.txt")
+                    body = self._body_of(rob) if rob else None
+                    hosts[host_id] = parse_robots(
+                        body, self.config.user_agent
+                    )
+                    m.robots_fetches += 1
+                if self.crawler.jail and row.depth == 0:
+                    pu = row.parsed
+                    jail[host_id] = pu.url[
+                        pu.host_o + pu.host_l : pu.file_o
+                    ].lower()
+
+                # jail gate (worker.c:727-737): dir-region prefix match
+                if self.crawler.jail:
+                    pu = row.parsed
+                    dir_region = pu.url[pu.host_o + pu.host_l : pu.file_o]
+                    jp = jail.get(host_id, "")
+                    if not dir_region.lower().startswith(jp):
+                        continue
+
+                # robots gate: evaluated per fetch (worker.c:739-741)
+                rules = hosts.get(host_id)
+                if rules and not robots_allows(rules, row.parsed.path):
+                    m.robots_denied += 1
+                    continue
+
+                doc = self.doc_map.get(row.parsed.url)
+                status = doc.status if doc else 404
+                rec = FetchRecord(
+                    round=round_no,
+                    seq=seq,
+                    url=row.parsed.url,
+                    filetype=row.filetype,
+                    depth=row.depth,
+                    host=host_id,
+                    status=status,
+                )
+                this_round.append(rec)
+                my_seq = seq
+                seq += 1
+                m.fetched += 1
+
+                if doc is None:
+                    continue
+
+                # redirects (worker.c:799-832): same-host -> re-admit at
+                # the same depth; other host -> park (EXTERNAL) or drop
+                if 300 <= doc.status < 400 and doc.location:
+                    if row.redirect_count + 1 >= 20:
+                        continue
+                    loc = parse_url(doc.location)
+                    if loc is None:
+                        # relative Location is resolved like any link
+                        adm = admit_link(
+                            row.parsed, doc.location, self.idx,
+                            self.config, tryadd, self._content_type_of,
+                        )
+                    else:
+                        adm = admit_link(
+                            row.parsed, doc.location, self.idx,
+                            self.config, tryadd, self._content_type_of,
+                        )
+                    if adm is None:
+                        m.deduped += 1
+                        continue
+                    if adm.route == R_FRONTIER:
+                        new_rows.append(
+                            Row(
+                                adm.parsed, adm.filetype, adm.ft_rank,
+                                row.depth, my_seq, 0,
+                                row.redirect_count + 1, adm.is_external,
+                            )
+                        )
+                    elif adm.route == R_TARGET:
+                        targets.append(
+                            Target(adm.parsed.url, adm.filetype, {},
+                                   round_no)
+                        )
+                        m.targets += 1
+                    elif adm.route == R_EXTERNAL:
+                        parked.setdefault(
+                            adm.parsed.host_identity, []
+                        ).append(
+                            Row(adm.parsed, adm.filetype, adm.ft_rank,
+                                0, my_seq, 0,
+                                row.redirect_count + 1, True)
+                        )
+                    else:
+                        m.discarded += 1
+                    continue
+
+                ft = self.config.filetype(row.filetype)
+                if not ft.parsers:
+                    continue
+                links = extract_links_from_spans(
+                    [
+                        {"kind": k, "text": t, "media_ref": mr, "offset": o}
+                        for (k, t, mr, o) in doc.spans
+                    ],
+                    ft.parsers,
+                )
+                for six, href in enumerate(links):
+                    adm = admit_link(
+                        row.parsed, href, self.idx, self.config,
+                        tryadd, self._content_type_of,
+                        base_external=row.external,
+                    )
+                    if adm is None:
+                        m.deduped += 1
+                        continue
+                    m.admitted += 1
+                    if adm.route == R_DISCARD:
+                        m.discarded += 1
+                    elif adm.route == R_TARGET:
+                        targets.append(
+                            Target(adm.parsed.url, adm.filetype, {},
+                                   round_no)
+                        )
+                        m.targets += 1
+                    elif adm.route == R_EXTERNAL:
+                        parked.setdefault(
+                            adm.parsed.host_identity, []
+                        ).append(
+                            Row(adm.parsed, adm.filetype, adm.ft_rank,
+                                0, my_seq, six, 0, True)
+                        )
+                    else:  # frontier
+                        child_depth = row.depth + 1
+                        if limit and child_depth >= limit:
+                            # admitted (in seen) but never fetched —
+                            # ue_next discards over-limit levels
+                            continue
+                        new_rows.append(
+                            Row(adm.parsed, adm.filetype, adm.ft_rank,
+                                child_depth, my_seq, six, 0,
+                                adm.is_external)
+                        )
+
+                # attribute emission (P11): the html parser sets the
+                # 'html' attribute when declared (html.c:181-183)
+                if "html" in ft.attributes and "html" in ft.parsers:
+                    targets.append(
+                        Target(
+                            row.parsed.url, row.filetype,
+                            {"html": self._body_of(doc)}, round_no,
+                        )
+                    )
+                    m.targets += 1
+
+            rounds.append(this_round)
+            metrics.append(m)
+            pending = deferred + rest + new_rows
+            round_no += 1
+
+        return CrawlResult(
+            seen=seen, rounds=rounds, targets=targets, metrics=metrics
+        )
