@@ -1,0 +1,806 @@
+"""Driver-contract queries + DuckDB oracles (see __spark_entry__.py).
+
+One entry per implemented operator family from SURVEY.md §2, expressed
+over the driver's testdata tables, each with an exact ANSI-SQL oracle.
+Integer determinism (md5-derived hashes, rounded doubles) makes even
+MinHash/SimHash signatures hash-comparable across engines.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F, types as T
+
+from .config import default_config, media_config
+from .functions import textstats
+from .functions.canonicalize import parse_url
+from .functions.classify import FtIndex
+from .functions.robots import robots_allows
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .sources.synthweb import generate_web
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def _register(name: str, sql: str = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Crawl-relational operators (SURVEY.md §2.2/§2.4/§2.5) over TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "f8_seen_antijoin",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def f8_seen_antijoin(spark, sf_dir):
+    """F8 dedup shape: the left-anti join against a 'seen' set."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey"
+    )
+
+
+@_register(
+    "q6_pending_semijoin",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q6_pending_semijoin(spark, sf_dir):
+    """Q6 pending-host adoption shape: left-semi join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "q10_politeness_window",
+    """
+    SELECT user_id, event_id, rn FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn <= 5
+    """,
+)
+def q10_politeness_window(spark, sf_dir):
+    """Q10 per-host politeness budget: row_number window, top-B."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+@_register(
+    "q8_priority_topk",
+    """
+    SELECT o_custkey, o_orderkey, rank FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS rank
+      FROM orders) WHERE rank <= 3
+    """,
+)
+def q8_priority_topk(spark, sf_dir):
+    """Q8 filetype-chain priority: ordered top-k per partition key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+@_register(
+    "q12_metrics_agg",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q12_metrics_agg(spark, sf_dir):
+    """Q12 per-filetype session counters: hash aggregation."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# URL corpus synthesized deterministically from the part table --------------
+
+_URL_CASES_SQL = """
+    'http://h' || CAST(p_partkey % 40 AS VARCHAR) || '.test' ||
+    CASE CAST(p_partkey % 6 AS INTEGER)
+      WHEN 0 THEN '/p/doc' || CAST(p_partkey AS VARCHAR) || '.html'
+      WHEN 1 THEN '/img/pic' || CAST(p_partkey AS VARCHAR) || '.png'
+      WHEN 2 THEN '/a/track' || CAST(p_partkey AS VARCHAR) || '.mp3'
+      WHEN 3 THEN '/d/item' || CAST(p_partkey AS VARCHAR)
+      WHEN 4 THEN '/s/sub' || CAST(p_partkey AS VARCHAR) || '/'
+      ELSE '/q/view.php?id=' || CAST(p_partkey AS VARCHAR)
+    END
+"""
+
+
+def _url_corpus(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    url = F.concat(
+        F.lit("http://h"), (pk % 40).cast("string"), F.lit(".test"),
+        F.when(pk % 6 == 0,
+               F.concat(F.lit("/p/doc"), pk.cast("string"), F.lit(".html")))
+        .when(pk % 6 == 1,
+              F.concat(F.lit("/img/pic"), pk.cast("string"), F.lit(".png")))
+        .when(pk % 6 == 2,
+              F.concat(F.lit("/a/track"), pk.cast("string"), F.lit(".mp3")))
+        .when(pk % 6 == 3,
+              F.concat(F.lit("/d/item"), pk.cast("string")))
+        .when(pk % 6 == 4,
+              F.concat(F.lit("/s/sub"), pk.cast("string"), F.lit("/")))
+        .otherwise(
+            F.concat(F.lit("/q/view.php?id="), pk.cast("string"))),
+    )
+    return p.select(pk.alias("p_partkey"), url.alias("url"))
+
+
+_URL_PARSE_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("ext", T.StringType()),
+        T.StructField("is_dynamic", T.BooleanType()),
+        T.StructField("is_dir", T.BooleanType()),
+    ]
+)
+
+
+@_register(
+    "s1_url_projection",
+    f"""
+    SELECT p_partkey, url,
+           'h' || CAST(p_partkey % 40 AS VARCHAR) || '.test' AS host,
+           CASE CAST(p_partkey % 6 AS INTEGER)
+             WHEN 0 THEN 'html' WHEN 1 THEN 'png' WHEN 2 THEN 'mp3'
+             WHEN 5 THEN 'php' ELSE '' END AS ext,
+           CAST(p_partkey % 6 AS INTEGER) = 5 AS is_dynamic,
+           CAST(p_partkey % 6 AS INTEGER) = 4 AS is_dir
+    FROM (SELECT p_partkey, {_URL_CASES_SQL} AS url FROM part)
+    """,
+)
+def s1_url_projection(spark, sf_dir):
+    """S1/projection: the canonicalize UDF's offset projection checked
+    against an independent SQL derivation on well-formed URLs."""
+    import pandas as pd
+
+    corpus = _url_corpus(spark, sf_dir)
+
+    @F.pandas_udf(_URL_PARSE_SCHEMA)
+    def parse(urls: pd.Series) -> pd.DataFrame:
+        rows = []
+        for u in urls:
+            p = parse_url(u)
+            rows.append(
+                (p.host, p.path, p.ext, p.is_dynamic, p.is_dir)
+                if p
+                else (None, None, None, None, None)
+            )
+        return pd.DataFrame(
+            rows, columns=["host", "path", "ext", "is_dynamic", "is_dir"]
+        )
+
+    parsed = corpus.withColumn("p", parse("url"))
+    return parsed.select(
+        "p_partkey", "url", "p.host", "p.ext", "p.is_dynamic", "p.is_dir"
+    )
+
+
+@_register(
+    "f1_classify_filetype",
+    f"""
+    SELECT p_partkey, url,
+           CASE CAST(p_partkey % 6 AS INTEGER)
+             WHEN 0 THEN 'html' WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
+             WHEN 3 THEN 'html' WHEN 4 THEN 'html' WHEN 5 THEN 'html'
+           END AS filetype
+    FROM (SELECT p_partkey, {_URL_CASES_SQL} AS url FROM part)
+    """,
+)
+def f1_classify_filetype(spark, sf_dir):
+    """F1/F2 ftindex decision tree vs an independent SQL CASE."""
+    import pandas as pd
+
+    cfg = media_config()
+    corpus = _url_corpus(spark, sf_dir)
+
+    @F.pandas_udf(T.StringType())
+    def classify(urls: pd.Series) -> pd.Series:
+        idx = FtIndex(cfg, cfg.crawler("media"))
+        out = []
+        for u in urls:
+            p = parse_url(u)
+            if p is None:
+                out.append(None)
+                continue
+            kind, name = idx.match_by_url(p)
+            out.append(name if kind == "ft" else None)
+        return pd.Series(out)
+
+    return corpus.select(
+        "p_partkey", "url", classify("url").alias("filetype")
+    )
+
+
+@_register(
+    "f5_robots_gate",
+    f"""
+    SELECT p_partkey, path,
+           CASE WHEN path LIKE '/q/view.php?id=1%' THEN TRUE
+                WHEN path LIKE '/q/%' THEN FALSE
+                ELSE TRUE END AS allowed
+    FROM (SELECT p_partkey,
+                 substr(url, length('http://h' ||
+                        CAST(p_partkey % 40 AS VARCHAR) || '.test') + 1)
+                   AS path
+          FROM (SELECT p_partkey, {_URL_CASES_SQL} AS url FROM part))
+    """,
+)
+def f5_robots_gate(spark, sf_dir):
+    """F5 robots filter: Allow-before-Deny first-match gating."""
+    import pandas as pd
+
+    rules = [(True, "/q/view.php?id=1"), (False, "/q/")]
+    corpus = _url_corpus(spark, sf_dir)
+
+    @F.pandas_udf(T.BooleanType())
+    def gate(paths: pd.Series) -> pd.Series:
+        return pd.Series([robots_allows(rules, p) for p in paths])
+
+    host_len = (
+        F.length(
+            F.concat(
+                F.lit("http://h"),
+                (F.col("p_partkey") % 40).cast("string"),
+                F.lit(".test"),
+            )
+        )
+        + 1
+    )
+    with_path = corpus.select(
+        "p_partkey",
+        F.col("url").substr(host_len, F.length("url")).alias("path"),
+    )
+    return with_path.select(
+        "p_partkey", "path", gate("path").alias("allowed")
+    )
+
+
+@_register(
+    "url_canonicalize_edges",
+    """
+    SELECT p_partkey,
+           CASE CAST(p_partkey % 3 AS INTEGER)
+             WHEN 0 THEN 'http://e' || CAST(p_partkey AS VARCHAR)
+                         || '.test/a/x.html'
+             WHEN 1 THEN 'http://e' || CAST(p_partkey AS VARCHAR)
+                         || '.test/a/b/x.html'
+             ELSE 'http://e' || CAST(p_partkey AS VARCHAR)
+                  || '.test/p/x.html?q=a+b&r=1'
+           END AS canonical
+    FROM part
+    """,
+)
+def url_canonicalize_edges(spark, sf_dir):
+    """§1.3 canonicalization rules (// collapse, /./ drop, /../ pop,
+    # cut, &amp; decode, space->+) vs literally-precomputed SQL."""
+    import pandas as pd
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    raw = (
+        F.when(pk % 3 == 0,
+               F.concat(F.lit("http://e"), pk.cast("string"),
+                        F.lit(".test/a//./x.html#frag")))
+        .when(pk % 3 == 1,
+              F.concat(F.lit("http://e"), pk.cast("string"),
+                       F.lit(".test/a/b/c/../x.html")))
+        .otherwise(
+            F.concat(F.lit("http://e"), pk.cast("string"),
+                     F.lit(".test/p/x.html?q=a b&amp;r=1#x")))
+    )
+
+    @F.pandas_udf(T.StringType())
+    def canon(urls: pd.Series) -> pd.Series:
+        return pd.Series(
+            [(parse_url(u).url if parse_url(u) else None) for u in urls]
+        )
+
+    return p.select(
+        pk.alias("p_partkey"), canon(raw).alias("canonical")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators over documents/embeddings
+# ---------------------------------------------------------------------------
+
+_DUPED_DOCS_SQL = """
+    (SELECT doc_id, text FROM documents
+     UNION ALL
+     SELECT doc_id + 1000000 AS doc_id, text FROM documents
+     WHERE doc_id % 10 = 0)
+"""
+
+
+def _duped_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM {_DUPED_DOCS_SQL} GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(_duped_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _minhash_sql(k: int = 16, m: int = dd.MINHASH_M) -> str:
+    sig_cols = ",\n           ".join(
+        f"min(({2 * i + 3} * h + {104729 * i + 12345}) % {m}) AS sig{i}"
+        for i in range(k)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS doc, t.token
+      FROM {_DUPED_DOCS_SQL} d,
+           unnest(string_split(d.text, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ), hashed AS (
+      SELECT doc,
+             ('0x' || substr(md5(token), 1, 15))::BIGINT % {m} AS h
+      FROM tok
+    )
+    SELECT doc, {sig_cols} FROM hashed GROUP BY doc
+    """
+
+
+@_register("dedup_minhash_signatures", _minhash_sql())
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures — integer-exact across engines."""
+    return dd.minhash_signatures(_duped_docs(spark, sf_dir), "doc_id",
+                                 "text")
+
+
+def _lsh_pairs_sql(k: int = 16, bands: int = 4,
+                   m: int = dd.MINHASH_M) -> str:
+    rows = k // bands
+    band_selects = []
+    for b in range(bands):
+        cols = " || '_' || ".join(
+            f"CAST(sig{b * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc, {b} AS band, {cols} AS bucket FROM sig"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH sig AS ({_minhash_sql(k, m)}),
+    banded AS ({banded})
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    """
+
+
+@_register("dedup_minhash_lsh_pairs", _lsh_pairs_sql())
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs (band-bucket self-join)."""
+    return dd.minhash_lsh_pairs(_duped_docs(spark, sf_dir), "doc_id",
+                                "text")
+
+
+def _simhash_sql(bits: int = 16, m: int = dd.MINHASH_M) -> str:
+    w_cols = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS w{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN w{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS doc, t.token
+      FROM {_DUPED_DOCS_SQL} d,
+           unnest(string_split(d.text, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ), hashed AS (
+      SELECT doc,
+             (('0x' || substr(md5(token), 1, 15))::BIGINT % {m})
+               % {1 << bits} AS h
+      FROM tok
+    ), weights AS (
+      SELECT doc, {w_cols} FROM hashed GROUP BY doc
+    )
+    SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM weights
+    """
+
+
+@_register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    return dd.simhash(_duped_docs(spark, sf_dir), "doc_id", "text")
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS doc, t.token
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ), sizes AS (
+      SELECT doc, count(*) AS n FROM tok GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             sa.n AS n_a, sb.n AS n_b, count(*) AS n_inter
+      FROM tok a
+      JOIN tok b ON a.token = b.token AND a.doc < b.doc
+      JOIN sizes sa ON sa.doc = a.doc
+      JOIN sizes sb ON sb.doc = b.doc
+      WHERE a.doc % 7 = 0 AND b.doc % 5 = 0
+      GROUP BY a.doc, b.doc, sa.n, sb.n
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
+    FROM inter
+    WHERE round(n_inter / (n_a + n_b - n_inter), 6) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.ngram_jaccard_pairs(d, "doc_id", "text")
+
+
+@_register(
+    "dedup_embedding_cosine",
+    """
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS norm
+      FROM embeddings
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 4)
+             AS cosine
+    FROM base a JOIN base b ON a.id < b.id
+    WHERE a.id % 10 = 0
+    ORDER BY cosine DESC, id_a, id_b LIMIT 20
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_cosine_pairs(e, "vec_id", "embedding")
+
+
+@_register(
+    "ann_brute_topk",
+    """
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS norm
+      FROM embeddings
+    ), scored AS (
+      SELECT q.id AS query_id, b.id AS neighbor_id,
+             round(list_dot_product(b.vec, q.vec) / (b.norm * q.norm), 4)
+               AS cosine
+      FROM base b JOIN base q ON b.id <> q.id
+      WHERE q.id < 5
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)
+               AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
+def ann_brute_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(e, "vec_id", "embedding")
+
+
+@_register("ann_lsh_topk")  # no SQL oracle: rows-only check (LSH recall
+# is approximate by construction; the exact-path twin is ann_brute_topk)
+def ann_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(e, "vec_id", "embedding")
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+def _lang_sql() -> str:
+    score = {
+        lang: " + ".join(
+            "CAST((length(' '||text||' ') - length(replace(' '||text||' ',"
+            f"' {w} ', ''))) / {len(w) + 2} AS INTEGER)"
+            for w in textstats.LANG_MARKERS[lang]
+        )
+        for lang in textstats.LANG_ORDER
+    }
+    cases = []
+    for lang in textstats.LANG_ORDER:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{other}"
+            for other in textstats.LANG_ORDER
+            if other != lang
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    scores_sql = ", ".join(
+        f"{expr} AS s_{lang}" for lang, expr in score.items()
+    )
+    return f"""
+    SELECT doc_id, {case_sql} AS lang_pred
+    FROM (SELECT doc_id, {scores_sql} FROM documents)
+    """
+
+
+@_register("text_lang_id", _lang_sql())
+def text_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@_register(
+    "text_quality",
+    """
+    SELECT doc_id AS doc,
+           length(text) AS n_chars,
+           len(list_filter(string_split(text, ' '), t -> t <> ''))
+             AS n_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+             AS n_punct,
+           CAST((length(' '||text||' ') -
+                 length(replace(' '||text||' ', ' the ', ''))) / 5
+                AS INTEGER)
+           + CAST((length(' '||text||' ') -
+                   length(replace(' '||text||' ', ' a ', ''))) / 3
+                  AS INTEGER)
+           + CAST((length(' '||text||' ') -
+                   length(replace(' '||text||' ', ' and ', ''))) / 5
+                  AS INTEGER)
+           + CAST((length(' '||text||' ') -
+                   length(replace(' '||text||' ', ' of ', ''))) / 4
+                  AS INTEGER) AS n_stopwords,
+           len(list_distinct(list_filter(string_split(text, ' '),
+                                         t -> t <> '')))
+             AS n_unique_tokens,
+           round((len(list_distinct(list_filter(string_split(text, ' '),
+                                                t -> t <> '')))
+                  / greatest(len(list_filter(string_split(text, ' '),
+                                             t -> t <> '')), 1))
+                 * (1 - length(regexp_replace(text, '[A-Za-z0-9 ]', '',
+                                              'g'))
+                        / greatest(length(text), 1)), 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.quality_features(d, "doc_id", "text")
+
+
+@_register(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> ''))
+             AS n_ws_tokens,
+           len(list_filter(string_split(
+                 regexp_replace(text, '([^A-Za-z0-9 ])', ' \\1 ', 'g'),
+                 ' '), t -> t <> '')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n_ws_tokens"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@_register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id AS doc,
+           sum((pos * h) % {1073741789}) % {1073741789} AS fingerprint
+    FROM (
+      SELECT doc_id,
+             t.pos,
+             ('0x' || substr(md5(t.token), 1, 15))::BIGINT
+               % {1073741789} AS h
+      FROM documents d,
+           unnest(string_split(d.text, ' ')) WITH ORDINALITY AS t(token, pos)
+      WHERE t.token <> ''
+    ) GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.fingerprint(d, "doc_id", "text")
+
+
+# -- streaming-analog + multimodal ------------------------------------------
+
+
+@_register(
+    "events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessioned AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+               AS session_ix
+      FROM marked
+    )
+    SELECT user_id, session_ix, count(*) AS n_events,
+           min(event_id) AS first_event
+    FROM sessioned GROUP BY user_id, session_ix
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Stateful/streaming analog: gap-based session windows (30 min).
+    The live Structured Streaming twin is in streaming/sessions.py."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    )
+    sessioned = marked.withColumn(
+        "session_ix",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sessioned.groupBy("user_id", "session_ix").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+@_register(
+    "multimodal_metadata",
+    """
+    SELECT 'm' || CAST(doc_id AS VARCHAR) ||
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN '.png' WHEN 1 THEN '.mp3' ELSE '.mp4' END
+             AS media_ref,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+             AS media_type,
+           length(text) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark, sf_dir):
+    """Opaque binary payload + typed metadata columns (media plumbing;
+    decode itself is stubbed — operators/media.py)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ref = F.concat(
+        F.lit("m"), did.cast("string"),
+        F.when(did % 3 == 0, ".png").when(did % 3 == 1, ".mp3")
+        .otherwise(".mp4"),
+    )
+    mtype = (
+        F.when(did % 3 == 0, "image").when(did % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        ref.alias("media_ref"),
+        mtype.alias("media_type"),
+        F.length("text").alias("byte_len"),
+        F.md5("text").alias("content_md5"),
+    )
+
+
+# -- the flagship crawl (rows-only: not SQL-expressible) ---------------------
+
+_SF_SIZES = {
+    "sf0.001": (120, 4),
+    "sf0.01": (1200, 12),
+    "sf0.1": (12000, 40),
+}
+
+
+def _sf_params(sf_dir: str):
+    for key, v in _SF_SIZES.items():
+        if sf_dir.rstrip("/").endswith(key):
+            return v
+    return (120, 4)
+
+
+@_register("crawl_flagship")  # rows-only: iterative multi-job pipeline
+def crawl_flagship(spark, sf_dir):
+    """End-to-end crawl over the deterministic synthetic web, sized by
+    scale factor. Returns per-round metrics (round, depth, fetched,
+    admitted, targets). Oracle: the pure-Python BSP crawler — enforced
+    by tests/test_crawl_golden.py rather than SQL."""
+    from .config import default_config
+    from .plans.crawl import SparkCrawler
+
+    n_docs, n_hosts = _sf_params(sf_dir)
+    web = generate_web(n_docs=n_docs, n_hosts=n_hosts, seed=42)
+    cfg = default_config(robotstxt=True)
+    crawler = SparkCrawler(
+        spark, web.to_spark(spark), cfg,
+        politeness_budget=0, collect_metrics=True,
+    )
+    stats = crawler.run(web.seeds)
+    return spark.createDataFrame(
+        [
+            (m["round"], m["depth"], m["fetched"], m["admitted"],
+             m["targets"])
+            for m in stats.per_round
+        ],
+        "round int, depth int, fetched long, admitted long, targets long",
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis functions for training-data pipelines.
+
+Language-ID (marker-word heuristic), quality scoring, token counting
+and document fingerprinting — all as JVM-side column expressions
+(zero Python), each with an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# marker words per language for the n-gram/stopword heuristic;
+# deliberately simple and 1:1 reproducible in SQL
+LANG_MARKERS = {
+    "en": ("the", "and"),
+    "es": ("el", "la"),
+    "fr": ("le", "les"),
+    "de": ("der", "und"),
+    "zh": ("de", "shi"),
+}
+
+
+def token_count(text_col) -> "F.Column":
+    """Whitespace token count (empty tokens excluded)."""
+    return F.size(F.filter(F.split(text_col, " "), lambda t: t != ""))
+
+
+def bpe_ish_token_count(text_col) -> "F.Column":
+    """A BPE-flavored proxy: alphanumeric runs + standalone
+    punctuation marks each count as one token."""
+    return F.size(
+        F.filter(
+            F.split(F.regexp_replace(text_col, "([^A-Za-z0-9 ])", " $1 "),
+                    " "),
+            lambda t: t != "",
+        )
+    )
+
+
+def marker_count(text_col, word: str) -> "F.Column":
+    """Occurrences of a marker word with space padding."""
+    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
+    target = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.regexp_replace(padded,
+                                                      target, "")))
+        / len(target)
+    ).cast("int")
+
+
+LANG_ORDER = ("en", "es", "fr", "de", "zh")
+
+
+def lang_id(text_col) -> "F.Column":
+    """Heuristic language id: the language whose marker words occur
+    most often; a fixed CASE cascade (LANG_ORDER) breaks ties —
+    first language whose score is maximal and positive wins.
+    Deterministic and replicated verbatim in the SQL oracle."""
+    scores = {
+        lang: sum(
+            [marker_count(text_col, w) for w in LANG_MARKERS[lang]],
+            F.lit(0),
+        )
+        for lang in LANG_ORDER
+    }
+    expr = F.lit("unknown")
+    for lang in reversed(LANG_ORDER):
+        cond = scores[lang] > 0
+        for other in LANG_ORDER:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length/punctuation/stopword/uniqueness features + a composite
+    quality score (rounded — SQL-exact)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    n_punct = F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", ""))
+    n_stop = sum(
+        [marker_count(text, w) for w in ("the", "a", "and", "of")],
+        F.lit(0),
+    )
+    n_uniq = F.size(F.array_distinct(
+        F.filter(F.split(text, " "), lambda t: t != "")
+    ))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        n_uniq.alias("n_unique_tokens"),
+        F.round(
+            (n_uniq / F.greatest(n_tokens, F.lit(1)))
+            * (1 - n_punct / F.greatest(n_chars, F.lit(1))),
+            6,
+        ).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str,
+                mod: int = 1073741789) -> DataFrame:
+    """Order-sensitive document fingerprint: position-weighted sum of
+    md5-derived token hashes mod a prime (a rolling-hash analog that
+    is exactly SQL-replicable via unnest WITH ORDINALITY)."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    h = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10)
+        .cast("long") % F.lit(mod)
+    )
+    return tok.groupBy("doc").agg(
+        (F.sum(((F.col("pos") + 1) * h) % F.lit(mod))
+         % F.lit(mod)).alias("fingerprint")
+    )

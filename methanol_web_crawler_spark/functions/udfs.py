@@ -1,0 +1,244 @@
+"""Arrow-batched UDFs wrapping the scalar crawl functions for Spark.
+
+All row-level logic runs inside ``mapInPandas`` / ``pandas_udf``
+stages (Arrow batch transfer), never as row-at-a-time Python UDFs —
+the input_hint mandate. The closures capture the (tiny) broadcast
+crawl config; heavy lookups (content types, the seen set) are joins,
+not closure state.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import pandas as pd
+
+from pyspark.sql import types as T
+
+from ..config import CrawlConfig
+from ..functions.canonicalize import ParsedUrl, add_url
+from ..functions.classify import FT, HEAD, FtIndex
+from ..functions.robots import parse_robots, robots_allows
+from ..operators.admission import (
+    R_DISCARD,
+    R_EXTERNAL,
+    R_FRONTIER,
+    R_TARGET,
+    extract_links_from_spans,
+)
+
+# candidate-link rows emitted by the parse/resolve stage
+CANDIDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("host_o", T.IntegerType()),
+        T.StructField("host_l", T.IntegerType()),
+        T.StructField("file_o", T.IntegerType()),
+        T.StructField("ext_o", T.IntegerType()),
+        T.StructField("protocol", T.StringType()),
+        T.StructField("is_dynamic", T.BooleanType()),
+        T.StructField("www", T.BooleanType()),
+        T.StructField("seen_key", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("external", T.BooleanType()),
+        T.StructField("needs_head", T.BooleanType()),
+        T.StructField("filetype", T.StringType()),
+        T.StructField("ft_rank", T.IntegerType()),
+        T.StructField("route", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("parent_round", T.IntegerType()),
+        T.StructField("parent_ord", T.LongType()),
+        T.StructField("sibling_ix", T.IntegerType()),
+        T.StructField("redirect_count", T.IntegerType()),
+    ]
+)
+
+ROBOTS_RULES_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("allow", T.BooleanType()),
+            T.StructField("prefix", T.StringType()),
+        ]
+    )
+)
+
+
+def route_of(
+    ft_name: Optional[str],
+    external: bool,
+    idx: FtIndex,
+    config: CrawlConfig,
+) -> tuple:
+    """(route, ft_rank) for a classified candidate — the bind_url
+    routing (worker.c:666-714)."""
+    if ft_name is None:
+        return R_DISCARD, len(idx.ft_list)
+    ft = config.filetype(ft_name)
+    rank = config.filetype_rank(idx.crawler.name, ft_name)
+    if ft.is_target_only:
+        return R_TARGET, rank
+    if external and not ft.ignore_host:
+        if idx.crawler.external or idx.crawler.external_peek:
+            return R_EXTERNAL, rank
+        return R_DISCARD, rank
+    return R_FRONTIER, rank
+
+
+def make_link_resolver(config: CrawlConfig, crawler_name: str):
+    """mapInPandas stage: fetched pages -> candidate link rows.
+
+    Input rows carry the parent's parsed-URL fields, filetype, depth,
+    (parent_round, fetch_ord), redirect_count, external flag, plus the
+    joined document columns (spans, status, location). For 3xx rows
+    the Location header is the single candidate at the SAME depth
+    (ue_revert, urlengine.c:158-165); otherwise the filetype's parser
+    chain extracts links and children land at depth+1 (ue_add at the
+    utable level above, urlengine.c:420-424).
+    """
+
+    def resolve(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = FtIndex(config, config.crawler(crawler_name))
+        cols = [f.name for f in CANDIDATE_SCHEMA.fields]
+
+        for pdf in it:
+            out: List[list] = []
+            for row in pdf.itertuples(index=False):
+                base = ParsedUrl(
+                    row.url,
+                    row.host_o,
+                    row.host_l,
+                    row.file_o,
+                    row.ext_o,
+                    row.protocol,
+                    row.is_dynamic,
+                    row.www,
+                )
+                status = row.status
+                is_redirect = (
+                    status is not None
+                    and not pd.isna(status)
+                    and 300 <= int(status) < 400
+                    and isinstance(row.location, str)
+                    and row.location
+                )
+                if is_redirect:
+                    if row.redirect_count + 1 >= 20:
+                        continue  # redirect-loop breaker (worker.c:808)
+                    pairs = [(0, row.location)]
+                    child_depth = int(row.depth)
+                    rcount = int(row.redirect_count) + 1
+                else:
+                    ft = config.filetype(row.filetype)
+                    if not ft.parsers or row.spans is None:
+                        continue
+                    spans = [
+                        {
+                            "kind": s["kind"],
+                            "text": s["text"],
+                            "media_ref": s["media_ref"],
+                            "offset": s["offset"],
+                        }
+                        for s in row.spans
+                    ]
+                    links = extract_links_from_spans(spans, ft.parsers)
+                    pairs = list(enumerate(links))
+                    child_depth = int(row.depth) + 1
+                    rcount = 0
+
+                for six, href in pairs:
+                    res = add_url(base, href)
+                    if res is None:
+                        continue
+                    parsed, external = res
+                    if row.external and not external:
+                        external = True  # inherit parent's EXTERNAL
+                    kind, name = idx.match_by_url(parsed)
+                    needs_head = kind == HEAD
+                    if needs_head:
+                        route, rank = None, None
+                    elif kind == FT:
+                        route, rank = route_of(name, external, idx, config)
+                    else:
+                        name = None
+                        route, rank = R_DISCARD, len(idx.ft_list)
+                    out.append(
+                        [
+                            parsed.url,
+                            parsed.host_o,
+                            parsed.host_l,
+                            parsed.file_o,
+                            parsed.ext_o,
+                            parsed.protocol,
+                            parsed.is_dynamic,
+                            parsed.www_prefix,
+                            parsed.seen_key,
+                            parsed.host_identity,
+                            external,
+                            needs_head,
+                            name,
+                            rank,
+                            route,
+                            child_depth,
+                            int(row.fetch_round),
+                            int(row.fetch_ord),
+                            six,
+                            rcount,
+                        ]
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return resolve
+
+
+def make_head_classifier(config: CrawlConfig, crawler_name: str):
+    """pandas UDF body: resolve POSSIBLE_MATCH rows by content type
+    (the reference's HEAD request, worker.c:567-631). Input: content
+    type + external flag series; output struct (filetype, ft_rank,
+    route)."""
+
+    def classify(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = FtIndex(config, config.crawler(crawler_name))
+        fts, ranks, routes = [], [], []
+        for ct, ext in zip(pdf["content_type"], pdf["external"]):
+            name = idx.match_by_mime(ct if isinstance(ct, str) else None)
+            route, rank = route_of(name, bool(ext), idx, config)
+            fts.append(name)
+            ranks.append(rank)
+            routes.append(route)
+        return pd.DataFrame(
+            {"filetype": fts, "ft_rank": ranks, "route": routes}
+        )
+
+    return classify
+
+
+def make_robots_parser(user_agent: str):
+    """pandas UDF body: robots.txt body -> ordered rule array."""
+
+    def parse(bodies: pd.Series) -> pd.Series:
+        out = []
+        for body in bodies:
+            rules = parse_robots(
+                body if isinstance(body, str) else None, user_agent
+            )
+            out.append(
+                [{"allow": a, "prefix": p} for (a, p) in rules]
+            )
+        return pd.Series(out)
+
+    return parse
+
+
+def robots_gate(rules_series: pd.Series, paths: pd.Series) -> pd.Series:
+    """pandas UDF body: first-prefix-match allow/deny per row."""
+    out = []
+    for rules, path in zip(rules_series, paths):
+        if rules is None or len(rules) == 0:
+            out.append(True)
+            continue
+        out.append(
+            robots_allows(
+                [(r["allow"], r["prefix"]) for r in rules], path
+            )
+        )
+    return pd.Series(out)

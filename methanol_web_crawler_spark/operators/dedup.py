@@ -1,0 +1,234 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup, MinHash+LSH, SimHash, n-gram Jaccard and embedding-cosine
+near-dup — each as a DataFrame transformation built from JVM-side
+built-ins (no Python in the hot path). Hashes derive from md5 so each
+operator has an exact integer-deterministic SQL oracle (DuckDB):
+
+    token_hash = cast(conv(substr(md5(token),1,15),16,10) as bigint) % m
+
+All shuffles key on the dedup hash/bucket; at 100 TB the heavy ops
+(explode + groupBy token hashes, band-bucket self-joins) partition by
+those keys and skew is bounded by band-bucket size caps.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, functions as F
+
+# MinHash parameters — small enough that a*h+b stays < 2^60 (no
+# overflow in either engine's int64 arithmetic)
+MINHASH_M = 1073741789  # prime < 2^30
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 rows per band
+
+
+def _token_hash(col: str = "token", m: int = MINHASH_M):
+    """md5-derived integer token hash, portable to ANSI SQL."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10)
+        .cast("long") % F.lit(m)
+    )
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct whitespace tokens per document (exploded)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact content dedup: md5(text) groups; keeps the min id as the
+    canonical representative and counts duplicates."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = MINHASH_K, m: int = MINHASH_M,
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    sig_i = min over tokens of (a_i * h(token) + b_i) mod m with
+    a_i = 2i+3, b_i = 104729*i + 12345 — shared verbatim with the SQL
+    oracle so signatures match bit-for-bit.
+    """
+    tok = tokens(df, id_col, text_col).withColumn("h", _token_hash())
+    aggs = [
+        F.min((F.lit(2 * i + 3) * F.col("h") + F.lit(104729 * i + 12345))
+              % F.lit(m)).alias(f"sig{i}")
+        for i in range(k)
+    ]
+    return tok.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = MINHASH_K, bands: int = LSH_BANDS, m: int = MINHASH_M,
+) -> DataFrame:
+    """Candidate near-dup pairs: documents sharing any LSH band.
+
+    Signatures are banded (k/bands rows per band); a band's bucket key
+    is the tuple of its signature values; a self-join per band emits
+    pairs, deduplicated across bands. The band self-join partitions by
+    the bucket key — the scale-defining shuffle.
+    """
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k, m)
+    band_frames: List[DataFrame] = []
+    for b in range(bands):
+        cols = [f"sig{b * rows + j}" for j in range(rows)]
+        band_frames.append(
+            sig.select(
+                "doc",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+                .alias("bucket"),
+            )
+        )
+    banded = band_frames[0]
+    for f in band_frames[1:]:
+        banded = banded.unionByName(f)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint per document (bit-majority of token hashes).
+
+    Uses ``bits`` bits of the md5-derived token hash; each bit's
+    weight is +1/-1 per distinct token; the fingerprint sets bits with
+    positive majority. Integer-deterministic — exact SQL oracle.
+    """
+    tok = tokens(df, id_col, text_col).withColumn(
+        "h", _token_hash() % F.lit(1 << bits)
+    )
+    weight_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"w{i}")
+        for i in range(bits)
+    ]
+    weighted = tok.groupBy("doc").agg(*weight_aggs)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"w{i}") > 0, F.lit(1 << i)).otherwise(0)
+        fp = term if fp is None else (fp + term)
+    return weighted.select("doc", fp.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    mod_a: int = 7, mod_b: int = 5, threshold: float = 0.3,
+) -> DataFrame:
+    """Token-set Jaccard similarity over a deterministic pair sample
+    (ids ≡0 mod a × ids ≡0 mod b). Returns pairs ≥ threshold with the
+    similarity as a rounded double (exact under an unnest+join SQL
+    oracle).
+    """
+    tok = tokens(df, id_col, text_col)
+    sizes = tok.groupBy("doc").agg(F.count("*").alias("n"))
+    ta = (
+        tok.join(sizes, "doc")
+        .filter(F.col("doc") % mod_a == 0)
+        .select(
+            F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "token"
+        )
+    )
+    tb = (
+        tok.join(sizes, "doc")
+        .filter(F.col("doc") % mod_b == 0)
+        .select(
+            F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "token"
+        )
+    )
+    inter = (
+        ta.join(tb, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            6,
+        ),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str,
+    sample_mod: int = 10, top_n: int = 20,
+) -> DataFrame:
+    """Embedding near-dup: cosine over a deterministic pair sample,
+    top-N by rounded score. Double-precision math via JVM-side
+    ``aggregate``/``zip_with`` — no Python in the loop."""
+    dotv = F.aggregate(
+        F.zip_with(
+            F.col("a.vec").cast("array<double>"),
+            F.col("b.vec").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col).cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("norm"),
+    )
+    a = base.filter(F.col("id") % sample_mod == 0).alias("a")
+    b = base.alias("b")
+    pairs = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                dotv / (F.col("a.norm") * F.col("b.norm")), 4
+            ).alias("cosine"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("cosine").desc(), "id_a", "id_b"
+    ).limit(top_n)

@@ -222,12 +222,16 @@ class OracleCrawler:
                     m.robots_fetches += 1
                 if self.crawler.jail and row.depth == 0:
                     pu = row.parsed
-                    jail[host_id] = pu.url[
-                        pu.host_o + pu.host_l : pu.file_o
-                    ].lower()
+                    jail.setdefault(
+                        host_id,
+                        pu.url[pu.host_o + pu.host_l : pu.file_o].lower(),
+                    )
 
-                # jail gate (worker.c:727-737): dir-region prefix match
-                if self.crawler.jail:
+                # jail gate (worker.c:727-737): dir-region prefix match.
+                # BSP contract: the jail prefix is the FIRST depth-0
+                # URL's directory per host; depth-0 rows always pass
+                # (the reference re-captures jail_url per root pop).
+                if self.crawler.jail and row.depth > 0:
                     pu = row.parsed
                     dir_region = pu.url[pu.host_o + pu.host_l : pu.file_o]
                     jp = jail.get(host_id, "")
@@ -264,18 +268,12 @@ class OracleCrawler:
                 if 300 <= doc.status < 400 and doc.location:
                     if row.redirect_count + 1 >= 20:
                         continue
-                    loc = parse_url(doc.location)
-                    if loc is None:
-                        # relative Location is resolved like any link
-                        adm = admit_link(
-                            row.parsed, doc.location, self.idx,
-                            self.config, tryadd, self._content_type_of,
-                        )
-                    else:
-                        adm = admit_link(
-                            row.parsed, doc.location, self.idx,
-                            self.config, tryadd, self._content_type_of,
-                        )
+                    # Location resolved like any link (absolute or
+                    # relative), then re-admitted at the same depth
+                    adm = admit_link(
+                        row.parsed, doc.location, self.idx,
+                        self.config, tryadd, self._content_type_of,
+                    )
                     if adm is None:
                         m.deduped += 1
                         continue

@@ -1,0 +1,690 @@
+"""The Spark crawl engine: BSP round loop over DataFrames.
+
+One crawl round is one declarative DataFrame job (SURVEY.md §3.1
+mapping of the reference's worker loop, worker.c:214-407):
+
+  frontier(depth=d) --politeness window--> selected
+     --robots/jail gates--> --join docs ("fetch")--> fetched
+     --mapInPandas parse+canonicalize+classify--> candidates
+     --in-batch dedup window--> --anti-join seen--> admitted
+     --route--> targets | parked(external) | frontier(depth+1)
+  appends: frontier', seen+delta, targets, crawl_log, metrics, hosts
+
+Scale posture (the parts that matter at a 10^10-URL frontier):
+- admission/classification runs pre-join, so the docs join input is
+  pre-pruned (the reference's sort-before-fetch, our predicate
+  pushdown);
+- all shuffles key on ``host`` (politeness, robots) or ``seen_key``
+  (dedup) — AQE (+ optional salted two-phase windows for hot hosts)
+  handles skew;
+- the seen set is an append-only snapshot table joined anti; a
+  partitioned bloom prefilter (operators/seen.py) cuts the anti-join
+  input;
+- every round's state lands in SnapshotTables (parquet + manifest),
+  so lineage is truncated per round and the crawl resumes exactly
+  from any checkpoint;
+- ordering parity (strict_order=True) costs one range-sort of the
+  round's selected rows; turn it off for throughput when oracle
+  parity is not required.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import CrawlConfig
+from ..functions.classify import FtIndex
+from ..functions.udfs import (
+    CANDIDATE_SCHEMA,
+    ROBOTS_RULES_TYPE,
+    make_head_classifier,
+    make_link_resolver,
+    make_robots_parser,
+    robots_gate,
+)
+from ..operators.admission import admit_seed
+from ..sources.tables import SnapshotStore
+
+FRONTIER_COLS = [
+    "url", "host_o", "host_l", "file_o", "ext_o", "protocol",
+    "is_dynamic", "www", "seen_key", "host", "filetype", "ft_rank",
+    "depth", "parent_round", "parent_ord", "sibling_ix",
+    "redirect_count", "external",
+]
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("host_o", T.IntegerType()),
+        T.StructField("host_l", T.IntegerType()),
+        T.StructField("file_o", T.IntegerType()),
+        T.StructField("ext_o", T.IntegerType()),
+        T.StructField("protocol", T.StringType()),
+        T.StructField("is_dynamic", T.BooleanType()),
+        T.StructField("www", T.BooleanType()),
+        T.StructField("seen_key", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("filetype", T.StringType()),
+        T.StructField("ft_rank", T.IntegerType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("parent_round", T.IntegerType()),
+        T.StructField("parent_ord", T.LongType()),
+        T.StructField("sibling_ix", T.IntegerType()),
+        T.StructField("redirect_count", T.IntegerType()),
+        T.StructField("external", T.BooleanType()),
+    ]
+)
+
+SEEN_SCHEMA = "seen_key string, key_hash long, first_round int"
+
+_SORT_COLS = ["ft_rank", "parent_round", "parent_ord", "sibling_ix"]
+
+
+@dataclass
+class CrawlStats:
+    rounds: int = 0
+    fetched: int = 0
+    admitted: int = 0
+    targets: int = 0
+    seen: int = 0
+    wall_s: float = 0.0
+    per_round: List[Dict] = field(default_factory=list)
+
+
+class SparkCrawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        config: CrawlConfig,
+        crawler: str = "default",
+        politeness_budget: int = 0,
+        strict_order: bool = True,
+        state_dir: Optional[str] = None,
+        salt_k: int = 0,
+        collect_metrics: bool = True,
+        log_spans: bool = False,
+        max_rounds: int = 10_000,
+    ):
+        self.spark = spark
+        self.config = config
+        self.crawler_name = crawler
+        self.crawler = config.crawler(crawler)
+        self.idx = FtIndex(config, self.crawler)
+        self.budget = politeness_budget
+        self.strict_order = strict_order
+        self.salt_k = salt_k
+        self.collect_metrics = collect_metrics
+        self.log_spans = log_spans
+        self.max_rounds = max_rounds
+        self.robots_enabled = any(c.robotstxt for c in config.crawlers)
+        self.store = SnapshotStore(state_dir) if state_dir else None
+
+        # the docs table is the synthetic web; only the columns a
+        # round needs are projected (column pruning reaches the scan)
+        self.docs = docs.select(
+            "doc_id", "spans", "content_type", "status", "location"
+        )
+        self.docs_ct = docs.select("doc_id", "content_type")
+
+    # -- seed admission (driver-side; seeds are tiny) -------------------
+
+    def _admit_seeds(self, seeds: List[str]) -> Tuple[DataFrame, DataFrame, List[dict]]:
+        seed_seen: set = set()
+
+        def tryadd(k: str) -> bool:
+            if k in seed_seen:
+                return False
+            seed_seen.add(k)
+            return True
+
+        # content types for HEAD-classified seeds via one tiny lookup
+        ct_rows = (
+            self.docs_ct.filter(F.col("doc_id").isin(seeds)).collect()
+            if seeds
+            else []
+        )
+        ct_map = {r["doc_id"]: r["content_type"] for r in ct_rows}
+
+        rows, targets = [], []
+        for ix, raw in enumerate(seeds):
+            adm = admit_seed(
+                raw, self.idx, self.config, tryadd, ct_map.get
+            )
+            if adm is None or adm.route == "discard":
+                continue
+            if adm.route == "target":
+                targets.append(
+                    {"url": adm.parsed.url, "filetype": adm.filetype,
+                     "round": 0}
+                )
+                continue
+            p = adm.parsed
+            rows.append(
+                (
+                    p.url, p.host_o, p.host_l, p.file_o, p.ext_o,
+                    p.protocol, p.is_dynamic, p.www_prefix, p.seen_key,
+                    p.host_identity, adm.filetype, adm.ft_rank, 0, -1,
+                    -1, ix, 0, False,
+                )
+            )
+        pending = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        seen = pending.select(
+            "seen_key",
+            F.xxhash64("seen_key").alias("key_hash"),
+            F.lit(0).alias("first_round"),
+        )
+        # seed keys that were admitted but routed away still occupy
+        # the seen set
+        extra = [k for k in seed_seen
+                 if k not in {r[8] for r in rows}]
+        if extra:
+            seen = seen.unionByName(
+                self.spark.createDataFrame(
+                    [(k,) for k in extra], "seen_key string"
+                ).select(
+                    "seen_key",
+                    F.xxhash64("seen_key").alias("key_hash"),
+                    F.lit(0).alias("first_round"),
+                )
+            )
+        return pending, seen, targets
+
+    # -- politeness -----------------------------------------------------
+
+    def _politeness_split(self, elig: DataFrame) -> Tuple[DataFrame, DataFrame]:
+        """Per-host token bucket: the B smallest rows by sort key per
+        host fetch this round, the rest defer with their key intact
+        (Q10). With salt_k > 0, a two-phase window handles hot-host
+        skew: per-(host,salt) top-B first (parallel over salts), then
+        the exact per-host top-B over the ≤ salt_k*B survivors."""
+        if not self.budget:
+            return elig, elig.limit(0)
+        w = Window.partitionBy("host").orderBy(*_SORT_COLS)
+        if self.salt_k > 1:
+            w1 = Window.partitionBy("host", "salt").orderBy(*_SORT_COLS)
+            pre = (
+                elig.withColumn(
+                    "salt", F.pmod(F.xxhash64("seen_key"), F.lit(self.salt_k))
+                )
+                .withColumn("rn1", F.row_number().over(w1))
+                .filter(F.col("rn1") <= self.budget)
+                .drop("rn1", "salt")
+            )
+            sel = (
+                pre.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= self.budget)
+                .drop("rn")
+            )
+            deferred = elig.join(
+                sel.select("seen_key"), "seen_key", "left_anti"
+            )
+            return sel, deferred
+        ranked = elig.withColumn("rn", F.row_number().over(w))
+        return (
+            ranked.filter(F.col("rn") <= self.budget).drop("rn"),
+            ranked.filter(F.col("rn") > self.budget).drop("rn"),
+        )
+
+    # -- robots / jail ----------------------------------------------------
+
+    def _update_hosts(
+        self, hosts: DataFrame, selected: DataFrame, round_no: int
+    ) -> DataFrame:
+        """Fetch robots.txt for hosts entering at depth 0 (worker.c:
+        269-283; fetched even when the crawler ignores robots —
+        preserved). The robots URL uses the www-stripped host identity
+        (worker.c:1002-1004)."""
+        new_hosts = (
+            selected.filter(F.col("depth") == 0)
+            .select("host")
+            .distinct()
+            .join(hosts.select("host"), "host", "left_anti")
+        )
+        robots_parse = F.pandas_udf(
+            make_robots_parser(self.config.user_agent), ROBOTS_RULES_TYPE
+        )
+        body_expr = F.expr(
+            "concat_ws('', transform(filter(spans, s -> s.kind = 'text'),"
+            " s -> coalesce(s.text, '')))"
+        )
+        fetched = (
+            new_hosts.join(
+                self.docs.select(
+                    "doc_id", body_expr.alias("robots_body")
+                ),
+                F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
+                == F.col("doc_id"),
+                "left",
+            )
+            .select(
+                "host",
+                robots_parse(F.col("robots_body")).alias("rules"),
+            )
+        )
+        return hosts.unionByName(fetched)
+
+    def _jail_prefixes(self, selected: DataFrame) -> DataFrame:
+        dir_region = F.expr(
+            "lower(substring(url, host_o + host_l + 1,"
+            " greatest(file_o - host_o - host_l, 0)))"
+        )
+        return (
+            selected.filter(F.col("depth") == 0)
+            .groupBy("host")
+            .agg(
+                F.min_by(
+                    dir_region, F.struct(*_SORT_COLS)
+                ).alias("jail_prefix")
+            )
+        )
+
+    # -- entry points -----------------------------------------------------
+
+    def _hosts_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("host", T.StringType()),
+                T.StructField("rules", ROBOTS_RULES_TYPE),
+            ]
+        )
+
+    def run(self, seeds: List[str]) -> CrawlStats:
+        """Fresh crawl from a seed list."""
+        spark = self.spark
+        stats = CrawlStats()
+        pending, seen, seed_targets = self._admit_seeds(seeds)
+        if self.store:
+            # snapshot 0 — the resume baseline
+            self.store.table("seen").append(seen, 0, collect_lineage=False)
+            self.store.table("frontier").append(
+                pending, 0, collect_lineage=True
+            )
+            if seed_targets:
+                self.store.table("targets").append(
+                    spark.createDataFrame(
+                        [(t["url"], t["filetype"], 0) for t in seed_targets],
+                        "url string, filetype string, round int",
+                    ),
+                    0, collect_lineage=False,
+                )
+        stats.targets += len(seed_targets)
+        hosts = spark.createDataFrame([], self._hosts_schema()).persist()
+        jail = (
+            spark.createDataFrame(
+                [], "host string, jail_prefix string"
+            ).persist()
+            if self.crawler.jail
+            else None
+        )
+        return self._loop(
+            pending.persist(), seen.persist(), hosts, jail, None, 0, stats
+        )
+
+    def resume(self) -> CrawlStats:
+        """Continue a crawl exactly from the latest snapshots (north
+        rule: resumable from any checkpoint with per-partition
+        lineage — see SnapshotTable manifests)."""
+        assert self.store is not None, "resume requires state_dir"
+        spark = self.spark
+        ft = self.store.table("frontier")
+        r0 = ft.latest_round()
+        assert r0 is not None, "no frontier snapshot to resume from"
+        pending = ft.read_round(spark, r0)
+        seen = self.store.table("seen").read_until(spark).select(
+            "seen_key", "key_hash", "first_round"
+        )
+        hosts = self.store.table("hosts_state").read_latest(spark)
+        if hosts is None:
+            hosts = spark.createDataFrame([], self._hosts_schema())
+        jail = None
+        if self.crawler.jail:
+            jail = self.store.table("jail_state").read_latest(spark)
+            if jail is None:
+                jail = spark.createDataFrame(
+                    [], "host string, jail_prefix string"
+                )
+            jail = jail.persist()
+        parked = self.store.table("parked_state").read_latest(spark)
+        if parked is not None and parked.isEmpty():
+            parked = None
+        return self._loop(
+            pending.persist(),
+            seen.persist(),
+            hosts.persist(),
+            jail,
+            parked.persist() if parked is not None else None,
+            r0,
+            CrawlStats(),
+        )
+
+    # -- the round loop ---------------------------------------------------
+
+    def _loop(
+        self,
+        pending: DataFrame,
+        seen: DataFrame,
+        hosts: DataFrame,
+        jail: Optional[DataFrame],
+        parked: Optional[DataFrame],
+        start_round: int,
+        stats: CrawlStats,
+    ) -> CrawlStats:
+        spark = self.spark
+        t0 = time.time()
+
+        head_classify = make_head_classifier(self.config, self.crawler_name)
+        resolver = make_link_resolver(self.config, self.crawler_name)
+        gate_udf = F.pandas_udf(robots_gate, T.BooleanType())
+
+        r = start_round
+        while r < self.max_rounds:
+            n_pending = pending.count()
+            if n_pending == 0:
+                if parked is None or parked.isEmpty():
+                    break
+                # host-adoption wave: parked rows re-enter at depth 0
+                pending.unpersist()
+                pending = parked.withColumn("depth", F.lit(0)).persist()
+                parked = None
+                if self.store:
+                    self.store.table("frontier").append(
+                        pending, r, collect_lineage=True
+                    )
+                    self.store.table("parked_state").append(
+                        spark.createDataFrame([], FRONTIER_SCHEMA),
+                        r, collect_lineage=False,
+                    )
+                continue
+
+            d = pending.agg(F.min("depth")).first()[0]
+            elig = pending.filter(F.col("depth") == d)
+            rest = pending.filter(F.col("depth") != d)
+
+            selected, deferred = self._politeness_split(elig)
+            selected = selected.persist()
+
+            if self.robots_enabled:
+                new_hosts_df = self._update_hosts(hosts, selected, r)
+                hosts.unpersist()
+                hosts = new_hosts_df.persist()
+                hosts.count()  # materialize before reuse
+
+            # gates -----------------------------------------------------
+            gated = selected
+            if self.crawler.jail:
+                new_jail = self._jail_prefixes(selected).join(
+                    jail.select("host"), "host", "left_anti"
+                )
+                jail = jail.unionByName(new_jail).persist()
+                gated = gated.join(jail, "host", "left")
+                dir_region = F.expr(
+                    "lower(substring(url, host_o + host_l + 1,"
+                    " greatest(file_o - host_o - host_l, 0)))"
+                )
+                gated = gated.filter(
+                    (F.col("depth") == 0)
+                    | F.col("jail_prefix").isNull()
+                    | dir_region.startswith(F.col("jail_prefix"))
+                ).drop("jail_prefix")
+            if self.robots_enabled:
+                path_expr = F.expr("substring(url, host_o + host_l + 1)")
+                gated = (
+                    gated.join(hosts, "host", "left")
+                    .withColumn(
+                        "robots_ok",
+                        gate_udf(F.col("rules"), path_expr),
+                    )
+                    .filter(F.col("robots_ok"))
+                    .drop("rules", "robots_ok")
+                )
+
+            # deterministic fetch order + fetch ids ----------------------
+            if self.strict_order:
+                ordered = gated.orderBy(*_SORT_COLS)
+            else:
+                ordered = gated
+            ordered = ordered.withColumn(
+                "fetch_ord", F.monotonically_increasing_id()
+            ).withColumn("fetch_round", F.lit(r))
+
+            # the "fetch": join the docs table --------------------------
+            fetched = ordered.join(
+                self.docs, ordered.url == self.docs.doc_id, "left"
+            ).drop("doc_id").persist()
+
+            n_fetched = fetched.count()
+            stats.fetched += n_fetched
+
+            # crawl log (S11) -------------------------------------------
+            if self.store:
+                log_cols = [
+                    F.lit(r).alias("round"), "fetch_ord", "url",
+                    "filetype", "depth", "host",
+                    F.coalesce(F.col("status"), F.lit(404)).alias("status"),
+                ]
+                if self.log_spans:
+                    log_cols.append("spans")
+                self.store.table("crawl_log").append(
+                    fetched.select(*log_cols), r, collect_lineage=False
+                )
+
+            # attribute targets (P11): html attribute when declared ------
+            attr_fts = [
+                f.name
+                for f in self.idx.ft_list
+                if "html" in f.attributes and "html" in f.parsers
+            ]
+            n_targets_attr = 0
+            if attr_fts:
+                body_expr = F.expr(
+                    "concat_ws('', transform(filter(spans,"
+                    " s -> s.kind = 'text'), s -> coalesce(s.text, '')))"
+                )
+                attr_targets = fetched.filter(
+                    F.col("filetype").isin(attr_fts)
+                    & F.col("spans").isNotNull()
+                    & ~(
+                        (F.col("status") >= 300) & (F.col("status") < 400)
+                        & F.col("location").isNotNull()
+                    )
+                ).select(
+                    "url", "filetype",
+                    F.create_map(
+                        F.lit("html"), body_expr
+                    ).alias("attributes"),
+                    F.lit(r).alias("round"),
+                )
+                if self.store:
+                    self.store.table("attr_targets").append(
+                        attr_targets, r, collect_lineage=False
+                    )
+                    n_targets_attr = attr_targets.count()
+
+            # parse + canonicalize + classify ----------------------------
+            candidates = fetched.mapInPandas(resolver, CANDIDATE_SCHEMA)
+
+            # in-batch dedup: first admission in fetch order wins --------
+            wd = Window.partitionBy("seen_key").orderBy(
+                "parent_ord", "sibling_ix"
+            )
+            candidates = (
+                candidates.withColumn("rn", F.row_number().over(wd))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+
+            # global dedup: exact anti-join against the seen set ---------
+            new_links = candidates.join(
+                seen.select("seen_key"), "seen_key", "left_anti"
+            )
+
+            # HEAD resolution (F3): content-type join for POSSIBLE_MATCH -
+            head_rows = new_links.filter(F.col("needs_head"))
+            plain_rows = new_links.filter(~F.col("needs_head"))
+            resolved_head = (
+                head_rows.drop("filetype", "ft_rank", "route")
+                .join(
+                    self.docs_ct,
+                    F.col("url") == F.col("doc_id"),
+                    "left",
+                )
+                .drop("doc_id")
+                .mapInPandas(
+                    _head_mapper(head_classify),
+                    CANDIDATE_SCHEMA,
+                )
+            )
+            admitted = plain_rows.unionByName(resolved_head).persist()
+            n_admitted = admitted.count()
+            stats.admitted += n_admitted
+
+            # seen delta --------------------------------------------------
+            seen_delta = admitted.select(
+                "seen_key",
+                F.xxhash64("seen_key").alias("key_hash"),
+                F.lit(r).alias("first_round"),
+            )
+            if self.store:
+                self.store.table("seen").append(seen_delta, r,
+                                                collect_lineage=True)
+            new_seen = seen.unionByName(seen_delta)
+
+            # routing ------------------------------------------------------
+            targets_df = admitted.filter(F.col("route") == "target").select(
+                "url", "filetype", F.lit(r).alias("round")
+            )
+            n_targets = targets_df.count() if self.collect_metrics else 0
+            if self.store:
+                self.store.table("targets").append(
+                    targets_df, r, collect_lineage=False
+                )
+
+            frontier_add = admitted.filter(F.col("route") == "frontier")
+            if self.crawler.depth_limit:
+                frontier_add = frontier_add.filter(
+                    F.col("depth") < self.crawler.depth_limit
+                )
+            frontier_add = frontier_add.select(*FRONTIER_COLS)
+
+            external_add = admitted.filter(
+                F.col("route") == "external"
+            ).select(*FRONTIER_COLS)
+            if parked is None:
+                parked = external_add.persist()
+            else:
+                parked = parked.unionByName(external_add).persist()
+
+            new_pending = deferred.select(*FRONTIER_COLS).unionByName(
+                rest.select(*FRONTIER_COLS)
+            ).unionByName(frontier_add)
+
+            # snapshot the next frontier; reading it back truncates
+            # lineage and is the resume point
+            if self.store:
+                entry = self.store.table("frontier").append(
+                    new_pending, r + 1, collect_lineage=True
+                )
+                pending.unpersist()
+                pending = self.store.table("frontier").read_round(
+                    spark, r + 1
+                ).persist()
+            else:
+                old = pending
+                pending = new_pending.persist()
+                pending.count()
+                old.unpersist()
+
+            seen.unpersist()
+            if self.store:
+                # re-read from snapshots: flat parquet scans instead of
+                # an ever-growing union plan (lineage truncation)
+                seen = self.store.table("seen").read_until(spark).select(
+                    "seen_key", "key_hash", "first_round"
+                ).persist()
+            else:
+                seen = new_seen.persist()
+            if r % 4 == 3:
+                pending = pending.localCheckpoint()
+                seen = seen.localCheckpoint()
+                hosts = hosts.localCheckpoint()
+                if jail is not None:
+                    jail = jail.localCheckpoint()
+                if parked is not None:
+                    parked = parked.localCheckpoint()
+
+            if self.collect_metrics:
+                row = {
+                    "round": r,
+                    "depth": int(d),
+                    "fetched": int(n_fetched),
+                    "admitted": int(n_admitted),
+                    "targets": int(n_targets) + int(n_targets_attr),
+                    "selected": int(n_fetched),
+                }
+                stats.per_round.append(row)
+                if self.store:
+                    self.store.table("metrics").append(
+                        spark.createDataFrame(
+                            [tuple(row.values())],
+                            "round int, depth int, fetched long,"
+                            " admitted long, targets long, selected long",
+                        ),
+                        r, collect_lineage=False,
+                    )
+            stats.targets += int(n_targets) + int(n_targets_attr)
+
+            # full-state snapshots for exact resume
+            if self.store:
+                self.store.table("hosts_state").append(
+                    hosts, r + 1, collect_lineage=False
+                )
+                if jail is not None:
+                    self.store.table("jail_state").append(
+                        jail, r + 1, collect_lineage=False
+                    )
+                self.store.table("parked_state").append(
+                    parked
+                    if parked is not None
+                    else spark.createDataFrame([], FRONTIER_SCHEMA),
+                    r + 1, collect_lineage=False,
+                )
+
+            fetched.unpersist()
+            selected.unpersist()
+            admitted.unpersist()
+            r += 1
+            stats.rounds = r
+
+        stats.seen = seen.count()
+        stats.wall_s = time.time() - t0
+        self._final_seen = seen
+        self._final_pending = pending
+        return stats
+
+
+def _head_mapper(head_classify):
+    """mapInPandas wrapper applying the mime classifier and restoring
+    the CANDIDATE_SCHEMA column set/order."""
+    import pandas as pd
+
+    cols = [f.name for f in CANDIDATE_SCHEMA.fields]
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            res = head_classify(pdf[["content_type", "external"]])
+            pdf = pdf.drop(columns=["content_type"])
+            pdf["filetype"] = res["filetype"].values
+            pdf["ft_rank"] = res["ft_rank"].values
+            pdf["route"] = res["route"].values
+            yield pdf[cols]
+
+    return fn
