@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "crawl": {"urls_fetched": N, "urls_admitted": N,
+               "urls_per_sec": X, "rounds": R}}
+
+The headline is the crawl itself — URLs fetched+deduped per second
+over the deterministic synthetic web (BASELINE.json metric) — plus
+the heavy training-data operators. Scaling evidence (local[8] vs
+local[32]) is produced by bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+BENCH_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "text_fingerprint",
+    "text_quality",
+    "events_sessionize",
+    "q10_politeness_window",
+    "f8_seen_antijoin",
+    "q8_priority_topk",
+]
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def make_spark(cpus: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("methanol-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+
+
+def run_crawl_bench(spark, sf_dir: str) -> dict:
+    from methanol_web_crawler_spark.config import default_config
+    from methanol_web_crawler_spark.plans.crawl import SparkCrawler
+    from methanol_web_crawler_spark.entryqueries import _sf_params
+    from methanol_web_crawler_spark.sources.synthweb import generate_web
+
+    n_docs, n_hosts = _sf_params(sf_dir)
+    web = generate_web(n_docs=n_docs, n_hosts=n_hosts, seed=42)
+    docs = web.to_spark(spark)
+    docs = docs.repartition(int(CPUS)).persist()
+    docs.count()
+    cfg = default_config(robotstxt=True)
+    t0 = time.time()
+    crawler = SparkCrawler(
+        spark, docs, cfg, politeness_budget=0,
+        strict_order=False, collect_metrics=False,
+    )
+    stats = crawler.run(web.seeds)
+    wall = time.time() - t0
+    processed = stats.fetched + stats.seen
+    return {
+        "urls_fetched": stats.fetched,
+        "urls_seen": stats.seen,
+        "rounds": stats.rounds,
+        "wall_sec": round(wall, 3),
+        "urls_per_sec": round(
+            (stats.fetched + stats.seen) / wall if wall > 0 else 0.0, 1
+        ),
+    }
+
+
+def main():
+    from methanol_web_crawler_spark import entryqueries
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    per_query = {}
+    total = 0.0
+
+    crawl = run_crawl_bench(spark, SF_DIR)
+    per_query["crawl_flagship"] = crawl["wall_sec"]
+    total += crawl["wall_sec"]
+
+    for name in BENCH_QUERIES:
+        fn = entryqueries.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    out = {
+        "metric": "crawl+analytics suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_of(SF_DIR),
+        "cpus": int(CPUS),
+        "crawl": crawl,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

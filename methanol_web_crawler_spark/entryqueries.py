@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F, types as T
 
@@ -204,8 +206,6 @@ _URL_PARSE_SCHEMA = T.StructType(
 def s1_url_projection(spark, sf_dir):
     """S1/projection: the canonicalize UDF's offset projection checked
     against an independent SQL derivation on well-formed URLs."""
-    import pandas as pd
-
     corpus = _url_corpus(spark, sf_dir)
 
     @F.pandas_udf(_URL_PARSE_SCHEMA)
@@ -241,8 +241,6 @@ def s1_url_projection(spark, sf_dir):
 )
 def f1_classify_filetype(spark, sf_dir):
     """F1/F2 ftindex decision tree vs an independent SQL CASE."""
-    import pandas as pd
-
     cfg = media_config()
     corpus = _url_corpus(spark, sf_dir)
 
@@ -280,8 +278,6 @@ def f1_classify_filetype(spark, sf_dir):
 )
 def f5_robots_gate(spark, sf_dir):
     """F5 robots filter: Allow-before-Deny first-match gating."""
-    import pandas as pd
-
     rules = [(True, "/q/view.php?id=1"), (False, "/q/")]
     corpus = _url_corpus(spark, sf_dir)
 
@@ -326,8 +322,6 @@ def f5_robots_gate(spark, sf_dir):
 def url_canonicalize_edges(spark, sf_dir):
     """§1.3 canonicalization rules (// collapse, /./ drop, /../ pop,
     # cut, &amp; decode, space->+) vs literally-precomputed SQL."""
-    import pandas as pd
-
     p = _t(spark, sf_dir, "part")
     pk = F.col("p_partkey")
     raw = (
@@ -662,13 +656,15 @@ def text_token_counts(spark, sf_dir):
     SELECT doc_id AS doc,
            sum((pos * h) % {1073741789}) % {1073741789} AS fingerprint
     FROM (
-      SELECT doc_id,
-             t.pos,
-             ('0x' || substr(md5(t.token), 1, 15))::BIGINT
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(token), 1, 15))::BIGINT
                % {1073741789} AS h
-      FROM documents d,
-           unnest(string_split(d.text, ' ')) WITH ORDINALITY AS t(token, pos)
-      WHERE t.token <> ''
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ) WHERE token <> ''
     ) GROUP BY doc_id
     """,
 )
@@ -707,7 +703,9 @@ def text_fingerprint(spark, sf_dir):
 def events_sessionize(spark, sf_dir):
     """Stateful/streaming analog: gap-based session windows (30 min).
     The live Structured Streaming twin is in streaming/sessions.py."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     marked = e.withColumn(

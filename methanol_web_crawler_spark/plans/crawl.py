@@ -385,7 +385,10 @@ class SparkCrawler:
 
         r = start_round
         while r < self.max_rounds:
-            n_pending = pending.count()
+            agg = pending.agg(
+                F.count("*").alias("n"), F.min("depth").alias("d")
+            ).first()
+            n_pending, d = agg["n"], agg["d"]
             if n_pending == 0:
                 if parked is None or parked.isEmpty():
                     break
@@ -403,26 +406,25 @@ class SparkCrawler:
                     )
                 continue
 
-            d = pending.agg(F.min("depth")).first()[0]
             elig = pending.filter(F.col("depth") == d)
             rest = pending.filter(F.col("depth") != d)
 
             selected, deferred = self._politeness_split(elig)
             selected = selected.persist()
 
-            if self.robots_enabled:
-                new_hosts_df = self._update_hosts(hosts, selected, r)
-                hosts.unpersist()
-                hosts = new_hosts_df.persist()
-                hosts.count()  # materialize before reuse
+            if self.robots_enabled and d == 0:
+                # new hosts only enter at depth 0 (worker.c:269-283)
+                hosts = self._update_hosts(hosts, selected, r)
+                hosts = hosts.localCheckpoint()  # materialize + truncate
 
             # gates -----------------------------------------------------
             gated = selected
             if self.crawler.jail:
-                new_jail = self._jail_prefixes(selected).join(
-                    jail.select("host"), "host", "left_anti"
-                )
-                jail = jail.unionByName(new_jail).persist()
+                if d == 0:
+                    new_jail = self._jail_prefixes(selected).join(
+                        jail.select("host"), "host", "left_anti"
+                    )
+                    jail = jail.unionByName(new_jail).localCheckpoint()
                 gated = gated.join(jail, "host", "left")
                 dir_region = F.expr(
                     "lower(substring(url, host_o + host_l + 1,"
@@ -458,9 +460,6 @@ class SparkCrawler:
             fetched = ordered.join(
                 self.docs, ordered.url == self.docs.doc_id, "left"
             ).drop("doc_id").persist()
-
-            n_fetched = fetched.count()
-            stats.fetched += n_fetched
 
             # crawl log (S11) -------------------------------------------
             if self.store:
@@ -542,8 +541,6 @@ class SparkCrawler:
                 )
             )
             admitted = plain_rows.unionByName(resolved_head).persist()
-            n_admitted = admitted.count()
-            stats.admitted += n_admitted
 
             # seen delta --------------------------------------------------
             seen_delta = admitted.select(
@@ -560,7 +557,6 @@ class SparkCrawler:
             targets_df = admitted.filter(F.col("route") == "target").select(
                 "url", "filetype", F.lit(r).alias("round")
             )
-            n_targets = targets_df.count() if self.collect_metrics else 0
             if self.store:
                 self.store.table("targets").append(
                     targets_df, r, collect_lineage=False
@@ -597,8 +593,7 @@ class SparkCrawler:
                 ).persist()
             else:
                 old = pending
-                pending = new_pending.persist()
-                pending.count()
+                pending = new_pending.localCheckpoint()
                 old.unpersist()
 
             seen.unpersist()
@@ -609,15 +604,25 @@ class SparkCrawler:
                     "seen_key", "key_hash", "first_round"
                 ).persist()
             else:
-                seen = new_seen.persist()
-            if r % 4 == 3:
-                pending = pending.localCheckpoint()
-                seen = seen.localCheckpoint()
-                hosts = hosts.localCheckpoint()
-                if jail is not None:
-                    jail = jail.localCheckpoint()
-                if parked is not None:
-                    parked = parked.localCheckpoint()
+                seen = new_seen.localCheckpoint()
+            if parked is not None:
+                # truncate the parked union chain as well
+                parked = parked.localCheckpoint()
+
+            # cheap now: fetched/admitted are cached by the checkpoint
+            n_fetched = fetched.count()
+            stats.fetched += n_fetched
+            n_admitted = n_targets = 0
+            if self.collect_metrics:
+                route_counts = {
+                    row["route"]: row["n"]
+                    for row in admitted.groupBy("route")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                n_admitted = sum(route_counts.values())
+                n_targets = route_counts.get("target", 0)
+            stats.admitted += n_admitted
 
             if self.collect_metrics:
                 row = {
