@@ -415,7 +415,7 @@ class SparkCrawler:
             if self.robots_enabled and d == 0:
                 # new hosts only enter at depth 0 (worker.c:269-283)
                 hosts = self._update_hosts(hosts, selected, r)
-                hosts = hosts.localCheckpoint()  # materialize + truncate
+                hosts = hosts.localCheckpoint()
 
             # gates -----------------------------------------------------
             gated = selected
@@ -540,7 +540,11 @@ class SparkCrawler:
                     CANDIDATE_SCHEMA,
                 )
             )
-            admitted = plain_rows.unionByName(resolved_head).persist()
+            # checkpoint the (small) per-round delta: everything
+            # downstream (seen delta, targets, frontier add, parked)
+            # then reads a materialized scan instead of re-nesting the
+            # whole round pipeline — keeps all cross-round plans flat
+            admitted = plain_rows.unionByName(resolved_head).localCheckpoint()
 
             # seen delta --------------------------------------------------
             seen_delta = admitted.select(
@@ -604,7 +608,14 @@ class SparkCrawler:
                     "seen_key", "key_hash", "first_round"
                 ).persist()
             else:
-                seen = new_seen.localCheckpoint()
+                # seen is cumulative: a full localCheckpoint per round
+                # would rewrite the whole set (O(total) each round);
+                # checkpoint on a cadence, accumulate flat unions of
+                # already-truncated deltas in between
+                if r % 8 == 7:
+                    seen = new_seen.localCheckpoint()
+                else:
+                    seen = new_seen.persist()
             if parked is not None:
                 # truncate the parked union chain as well
                 parked = parked.localCheckpoint()

@@ -110,12 +110,25 @@ def generate_web_df(
         other_host = (
             r % F.lit(max(n_hosts - 1, 1)) + host_col + 1
         ) % F.lit(n_hosts)
-        tgt_local = _h(seed + 200 + i, host_col, local_col) % cnt
+        if i < links_per_doc - 1:
+            # expander links: page j -> pages j*L+i+1 — full coverage
+            # of the host in ~log_L(cnt) crawl rounds (avoids the
+            # pathological long-tail BFS of purely random targets)
+            # (L-1)-ary tree: j -> j*(L-1)+1..(L-1) covers every id
+            tgt_local = (
+                local_col * (links_per_doc - 1) + F.lit(i + 1)
+            ) % cnt
+        else:
+            tgt_local = _h(seed + 200 + i, host_col, local_col) % cnt
         return F.when(
             is_cross, _page_url(other_host, F.lit(0).cast("long"))
         ).otherwise(_page_url(host_col, tgt_local))
 
-    n_links = (_h(seed + 1, host_col, local_col) % links_per_doc) + 1
+    # all expander links present; the last (random) link appears on a
+    # hash-chosen subset of pages
+    n_links = F.lit(links_per_doc - 1) + (
+        _h(seed + 1, host_col, local_col) % 2
+    )
 
     words = F.concat(
         F.lit("crawl frontier shuffle depth host token span round doc "),
@@ -137,15 +150,38 @@ def generate_web_df(
         )
     html_frag = F.concat(*frag_parts)
 
+    # css/txt pages carry the same expander targets (multiple url()
+    # refs / bare URLs) so the host coverage tree survives any page
+    # kind on the path
     css_body = F.concat(
-        F.lit(".x { background: url("),
-        _page_url(host_col, _h(seed + 9, host_col, local_col) % cnt),
-        F.lit("); }"),
+        *[
+            F.concat(
+                F.lit(f".x{i} {{ background: url("),
+                _page_url(
+                    host_col,
+                    (local_col * (links_per_doc - 1) + F.lit(i + 1))
+                    % cnt,
+                ),
+                F.lit("); }\n"),
+            )
+            for i in range(links_per_doc - 1)
+        ]
     )
     txt_body = F.concat(
-        words, F.lit(" "),
-        _page_url(host_col, _h(seed + 10, host_col, local_col) % cnt),
-        F.lit(" tail"),
+        words,
+        *[
+            F.concat(
+                F.lit(" "),
+                _page_url(
+                    host_col,
+                    (local_col * (links_per_doc - 1) + F.lit(i + 1))
+                    % cnt,
+                ),
+                F.lit(" "),
+            )
+            for i in range(links_per_doc - 1)
+        ],
+        F.lit("tail"),
     )
 
     text_body = (
