@@ -81,8 +81,11 @@ def run_crawl_bench(spark, sf_dir: str) -> dict:
     )
 
     n_docs, n_hosts = CRAWL_SIZES.get(sf_of(sf_dir), (50_000, 200))
+    # production-shaped seed list: one seed per host, so rounds are
+    # wide (compute-bound) from the start instead of BFS-tree-starved
     docs, seeds = generate_web_df(
-        spark, n_docs, n_hosts, seed=42, partitions=int(CPUS)
+        spark, n_docs, n_hosts, seed=42, partitions=int(CPUS),
+        n_seeds=n_hosts,
     )
     docs = docs.persist()
     docs.count()

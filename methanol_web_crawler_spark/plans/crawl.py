@@ -364,6 +364,34 @@ class SparkCrawler:
             CrawlStats(),
         )
 
+    def run_frontier(
+        self,
+        pending: DataFrame,
+        seen: Optional[DataFrame] = None,
+    ) -> CrawlStats:
+        """Run the loop over a caller-provided frontier (FRONTIER_SCHEMA
+        rows) and optional pre-existing seen set — the steady-state
+        bench entry (one or few mega-rounds over a large frontier)."""
+        spark = self.spark
+        if seen is None:
+            seen = pending.select(
+                "seen_key",
+                F.xxhash64("seen_key").alias("key_hash"),
+                F.lit(0).alias("first_round"),
+            )
+        hosts = spark.createDataFrame([], self._hosts_schema()).persist()
+        jail = (
+            spark.createDataFrame(
+                [], "host string, jail_prefix string"
+            ).persist()
+            if self.crawler.jail
+            else None
+        )
+        return self._loop(
+            pending.persist(), seen.persist(), hosts, jail, None, 0,
+            CrawlStats(),
+        )
+
     # -- the round loop ---------------------------------------------------
 
     def _loop(

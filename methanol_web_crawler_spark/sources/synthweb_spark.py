@@ -70,6 +70,7 @@ def generate_web_df(
     redirect_pct: int = 3,
     media_pct: int = 20,
     partitions: int = 32,
+    n_seeds: int = 3,
 ) -> Tuple[DataFrame, List[str]]:
     """Returns (docs DataFrame in the input_hint shape, seed URLs)."""
     counts = _zipf_counts(n_docs, n_hosts, zipf_s, None)
@@ -268,7 +269,7 @@ def generate_web_df(
 
     # seeds: page 0 of the biggest hosts (one tiny job evaluates the
     # URL pattern for each)
-    n_seeds = min(3, n_hosts)
+    n_seeds = min(n_seeds, n_hosts)
     seed_urls = [
         r["u"]
         for r in spark.range(n_seeds)

@@ -1,0 +1,173 @@
+"""Unit tests: partitioned bloom seen-filter, media plumbing,
+snapshot tables, distributed generator determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from methanol_web_crawler_spark.operators.media import (
+    decode_media,
+    media_metadata,
+)
+from methanol_web_crawler_spark.operators.seen import BloomSeenFilter
+from methanol_web_crawler_spark.sources.synthweb_spark import generate_web_df
+from methanol_web_crawler_spark.sources.tables import SnapshotStore
+
+
+class TestBloomSeenFilter:
+    def test_no_false_negatives(self, spark):
+        bloom = BloomSeenFilter(spark, n_buckets=8, m_bits=1 << 14, k=4)
+        keys = spark.range(1000).select(
+            F.xxhash64(F.col("id").cast("string")).alias("key_hash")
+        )
+        bloom.update(keys)
+        # every inserted key must be "maybe seen"
+        new, maybe = bloom.split(keys)
+        assert new.count() == 0
+        assert maybe.count() == 1000
+
+    def test_mostly_rejects_unseen(self, spark):
+        bloom = BloomSeenFilter(spark, n_buckets=8, m_bits=1 << 16, k=5)
+        seen = spark.range(2000).select(
+            F.xxhash64(F.col("id").cast("string")).alias("key_hash")
+        )
+        bloom.update(seen)
+        unseen = spark.range(10_000, 12_000).select(
+            F.xxhash64(F.col("id").cast("string")).alias("key_hash")
+        )
+        new, maybe = bloom.split(unseen)
+        n_new = new.count()
+        # fp rate at this sizing is well under 5%
+        assert n_new >= 1900
+        assert n_new + maybe.count() == 2000
+
+    def test_incremental_updates(self, spark):
+        bloom = BloomSeenFilter(spark, n_buckets=4, m_bits=1 << 14, k=4)
+        a = spark.range(100).select(
+            F.xxhash64(F.col("id").cast("string")).alias("key_hash")
+        )
+        b = spark.range(100, 200).select(
+            F.xxhash64(F.col("id").cast("string")).alias("key_hash")
+        )
+        bloom.update(a)
+        bloom.update(b)
+        new, maybe = bloom.split(a.unionByName(b))
+        assert new.count() == 0
+
+
+class TestMedia:
+    def test_metadata(self, spark):
+        df = spark.createDataFrame(
+            [("http://a.test/x.png", bytearray(b"abc")),
+             ("http://a.test/y.mp3", bytearray(b"defg"))],
+            "ref string, payload binary",
+        )
+        rows = {
+            r["media_ref"]: r["meta"]
+            for r in media_metadata(df, "ref", "payload").collect()
+        }
+        assert rows["http://a.test/x.png"]["media_type"] == "image"
+        assert rows["http://a.test/x.png"]["byte_len"] == 3
+        assert rows["http://a.test/y.mp3"]["media_type"] == "audio"
+
+    def test_decode_stub_fake(self, spark):
+        df = spark.createDataFrame(
+            [("http://a.test/x.png", bytearray(b"abc"))],
+            "ref string, payload binary",
+        )
+        out = decode_media(df, "ref", "payload",
+                           deterministic_fake=True).collect()
+        assert len(out) == 1
+        assert out[0]["media_type"] == "image"
+        assert len(out[0]["features"]) == 8
+        # deterministic: same payload -> same features
+        out2 = decode_media(df, "ref", "payload",
+                            deterministic_fake=True).collect()
+        assert out[0]["features"] == out2[0]["features"]
+
+    def test_decode_stub_raises_without_fake(self, spark):
+        from py4j.protocol import Py4JJavaError
+
+        df = spark.createDataFrame(
+            [("http://a.test/x.png", bytearray(b"abc"))],
+            "ref string, payload binary",
+        )
+        with pytest.raises(Exception):
+            decode_media(df, "ref", "payload").collect()
+
+
+class TestSnapshotStore:
+    def test_append_read_time_travel(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        t = store.table("x")
+        t.append(spark.createDataFrame([(1,)], "a int"), 0)
+        t.append(spark.createDataFrame([(2,)], "a int"), 1)
+        t.append(spark.createDataFrame([(3,)], "a int"), 2)
+        assert t.latest_round() == 2
+        assert t.read_until(spark, 1).count() == 2
+        assert t.read_until(spark).count() == 3
+        assert [r["a"] for r in t.read_round(spark, 1).collect()] == [2]
+
+    def test_read_latest(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        t = store.table("state")
+        t.append(spark.createDataFrame([(1,), (2,)], "a int"), 0)
+        t.append(spark.createDataFrame([(9,)], "a int"), 1)
+        assert [r["a"] for r in t.read_latest(spark).collect()] == [9]
+
+    def test_rollback(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        t = store.table("x")
+        t.append(spark.createDataFrame([(1,)], "a int"), 0)
+        t.append(spark.createDataFrame([(2,)], "a int"), 1)
+        t.rollback_to(0)
+        assert t.latest_round() == 0
+        assert t.read_until(spark).count() == 1
+
+    def test_lineage_recorded(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        t = store.table("x")
+        entry = t.append(
+            spark.range(100).select(F.col("id").alias("a")), 0,
+            collect_lineage=True,
+        )
+        assert entry["rows"] == 100
+        assert sum(entry["partitions"].values()) == 100
+
+
+class TestDistributedGenerator:
+    def test_deterministic_across_parallelism(self, spark):
+        d1, s1 = generate_web_df(spark, 500, 5, seed=7, partitions=2)
+        d2, s2 = generate_web_df(spark, 500, 5, seed=7, partitions=7)
+        assert s1 == s2
+        rows1 = sorted(
+            (r["doc_id"], str(r["spans"]), r["status"], r["location"])
+            for r in d1.collect()
+        )
+        rows2 = sorted(
+            (r["doc_id"], str(r["spans"]), r["status"], r["location"])
+            for r in d2.collect()
+        )
+        assert rows1 == rows2
+
+    def test_schema_matches_input_hint(self, spark):
+        d, _ = generate_web_df(spark, 100, 3, seed=1, partitions=2)
+        fields = {f.name: f.dataType.simpleString() for f in d.schema.fields}
+        assert fields["doc_id"] == "string"
+        assert fields["spans"].startswith(
+            "array<struct<kind:string,text:string,media_ref:string,"
+            "offset:int"
+        )
+
+    def test_crawlable(self, spark):
+        from methanol_web_crawler_spark.config import default_config
+        from methanol_web_crawler_spark.plans.crawl import SparkCrawler
+
+        docs, seeds = generate_web_df(spark, 300, 3, seed=5, partitions=2)
+        c = SparkCrawler(
+            spark, docs.persist(), default_config(robotstxt=True),
+            politeness_budget=0, strict_order=False,
+            collect_metrics=False, max_rounds=6,
+        )
+        st = c.run(seeds)
+        assert st.fetched > 10
+        assert st.seen > st.fetched / 2
