@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis) for the scalar crawl functions."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from methanol_web_crawler_spark.functions.canonicalize import (
+    add_url,
+    combine_url,
+    parse_url,
+)
+from methanol_web_crawler_spark.functions.robots import (
+    parse_robots,
+    robots_allows,
+)
+
+host_chars = st.text(
+    alphabet=string.ascii_lowercase + string.digits + ".-", min_size=1,
+    max_size=20,
+)
+path_chars = st.text(
+    alphabet=string.ascii_letters + string.digits + "/._-~?&=# %",
+    max_size=40,
+)
+
+
+@st.composite
+def urls(draw):
+    proto = draw(st.sampled_from(["http", "https", "ftp"]))
+    host = draw(host_chars)
+    path = draw(path_chars)
+    return f"{proto}://{host}/{path}"
+
+
+class TestCanonicalizeProperties:
+    @given(urls())
+    @settings(max_examples=300, deadline=None)
+    def test_parse_never_crashes(self, raw):
+        parse_url(raw)
+
+    @given(urls())
+    @settings(max_examples=300, deadline=None)
+    def test_offsets_in_bounds(self, raw):
+        p = parse_url(raw)
+        if p is None:
+            return
+        n = len(p.url)
+        assert 0 <= p.host_o <= n
+        assert p.host_o + p.host_l <= n
+        assert p.ext_o < n
+        # derived parts never raise
+        _ = p.host, p.path, p.ext, p.filename, p.seen_key, p.is_dir
+
+    @given(urls())
+    @settings(max_examples=300, deadline=None)
+    def test_canonical_path_has_no_dot_segments(self, raw):
+        p = parse_url(raw)
+        if p is None:
+            return
+        pre_query = p.path.split("?", 1)[0]
+        assert "//" not in pre_query
+        assert "/./" not in pre_query
+        assert "/../" not in pre_query
+        assert "#" not in p.url
+
+    @given(urls())
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent_modulo_query_plus(self, raw):
+        """Reparsing a canonical URL keeps host/ext/dyn identity.
+
+        (The full string is not always a fixpoint: '+' in a query
+        round-trips, but raw spaces became '+' on the first pass.)"""
+        p1 = parse_url(raw)
+        if p1 is None:
+            return
+        p2 = parse_url(p1.url)
+        if p2 is None:
+            return
+        assert p2.host.lower() == p1.host.lower()
+        assert p2.is_dynamic == p1.is_dynamic
+        assert p2.url == parse_url(p2.url).url  # second pass IS a fixpoint
+
+    @given(urls(), path_chars)
+    @settings(max_examples=300, deadline=None)
+    def test_combine_preserves_host(self, raw, href):
+        base = parse_url(raw)
+        if base is None:
+            return
+        res = add_url(base, href)
+        if res is None:
+            return
+        child, external = res
+        if not external:
+            assert child.host.lower() == base.host.lower()
+
+    @given(st.sets(urls(), max_size=50))
+    @settings(max_examples=50, deadline=None)
+    def test_seen_key_dedup_matches_set_oracle(self, raws):
+        seen = set()
+        admitted = []
+        for raw in sorted(raws):
+            p = parse_url(raw)
+            if p is None:
+                continue
+            if p.seen_key not in seen:
+                seen.add(p.seen_key)
+                admitted.append(p.url)
+        # the same canonical urls re-offered are all duplicates
+        for u in admitted:
+            p = parse_url(u)
+            assert p.seen_key in seen
+
+
+class TestRobotsProperties:
+    @given(st.text(max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def test_parse_never_crashes(self, body):
+        rules = parse_robots(body, "Methanol")
+        robots_allows(rules, "/any/path")
+
+    @given(
+        st.lists(
+            st.tuples(st.booleans(), st.text(
+                alphabet=string.ascii_lowercase + "/", max_size=10)),
+            max_size=10,
+        ),
+        st.text(alphabet=string.ascii_lowercase + "/", max_size=15),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_first_match_wins(self, rules, path):
+        result = robots_allows(rules, path)
+        for allow, prefix in rules:
+            if path.startswith(prefix):
+                assert result == allow
+                break
+        else:
+            assert result is True
