@@ -93,8 +93,8 @@ def build_frontier(spark, docs, cpus: int):
                         p.url, p.host_o, p.host_l, p.file_o, p.ext_o,
                         p.protocol, p.is_dynamic, p.www_prefix,
                         p.seen_key, p.host_identity, name,
-                        cfg.filetype_rank("default", name), 0, -1, -1,
-                        i, 0, False,
+                        cfg.filetype_rank("default", name), "default",
+                        False, 0, -1, -1, i, 0, False,
                     ]
                 )
             yield pd.DataFrame(out, columns=cols)

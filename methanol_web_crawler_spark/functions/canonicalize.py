@@ -322,19 +322,20 @@ def hostcmp(a: ParsedUrl, b: ParsedUrl) -> bool:
 
 
 def add_url(
-    base: Optional[ParsedUrl], href: str
+    base: Optional[ParsedUrl], href: str, base_external: bool = False
 ) -> Optional[Tuple[ParsedUrl, bool]]:
     """Admission-time resolution (``ue_add``): returns (parsed, external).
 
-    - href starting with '/': combined onto base's host (inherits
-      base's externality — callers pass base_external separately if
-      they track it; here relative urls are never external on their
-      own, mirroring flags = source.flags & ~DYNAMIC with EXTERNAL
-      handled by the caller's row metadata).
+    - href starting with '/' or relative: combined onto base; the
+      combined URL INHERITS base's EXTERNAL flag (lm_url_combine keeps
+      flags & ~DYNAMIC, url.c:296 — QUIRK: relative children of a
+      peeked external page stay external and get discarded, while
+      absolute same-host links continue the peek);
     - 'proto:...' with a known protocol: absolute; external iff the
-      protocol or host differs from base.
+      protocol or host differs from base (urlengine.c:199-203) —
+      computed fresh, never inherited;
     - 'proto:...' with an unknown protocol (mailto:, javascript:):
-      discarded entirely.
+      discarded entirely;
     - anything else: relative, combined after base's last '/'.
     """
     if not href:
@@ -344,7 +345,7 @@ def add_url(
         return (p, False) if p else None
     if href[0] == "/":
         p = combine_url(base, href)
-        return (p, False) if p else None
+        return (p, base_external) if p else None
     for ch in href:
         o = ord(ch)
         if not _isalnum_ascii(o if o < 128 else 0):
@@ -356,7 +357,7 @@ def add_url(
                 return (p, external)
             break
     p = combine_url(base, href)
-    return (p, False) if p else None
+    return (p, base_external) if p else None
 
 
 def guess_seed_url(seed: str) -> str:

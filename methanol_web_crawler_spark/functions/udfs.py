@@ -5,11 +5,20 @@ stages (Arrow batch transfer), never as row-at-a-time Python UDFs —
 the input_hint mandate. The closures capture the (tiny) broadcast
 crawl config; heavy lookups (content types, the seen set) are joins,
 not closure state.
+
+Multi-crawler semantics (Q4/Q5): every frontier row carries its
+``crawler``; a fetched filetype with ``switch_to`` classifies and
+routes its children under the switched crawler's ftindex
+(worker.c:747-748 — the switch happens before the handler, so it
+applies to redirect targets too). External peek (EPEEK): an external
+link on a non-peeking row of an EPEEK crawler starts a peek — the
+child re-enters at depth 0 with ``peek=True`` and is budgeted by
+``peek_limit`` instead of ``depth_limit`` (worker.c:679-703).
 """
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional
 
 import pandas as pd
 
@@ -25,6 +34,7 @@ from ..operators.admission import (
     R_FRONTIER,
     R_TARGET,
     extract_links_from_spans,
+    route_of,
 )
 
 # candidate-link rows emitted by the parse/resolve stage
@@ -45,6 +55,8 @@ CANDIDATE_SCHEMA = T.StructType(
         T.StructField("filetype", T.StringType()),
         T.StructField("ft_rank", T.IntegerType()),
         T.StructField("route", T.StringType()),
+        T.StructField("crawler", T.StringType()),
+        T.StructField("peek", T.BooleanType()),
         T.StructField("depth", T.IntegerType()),
         T.StructField("parent_round", T.IntegerType()),
         T.StructField("parent_ord", T.LongType()),
@@ -63,41 +75,24 @@ ROBOTS_RULES_TYPE = T.ArrayType(
 )
 
 
-def route_of(
-    ft_name: Optional[str],
-    external: bool,
-    idx: FtIndex,
-    config: CrawlConfig,
-) -> tuple:
-    """(route, ft_rank) for a classified candidate — the bind_url
-    routing (worker.c:666-714)."""
-    if ft_name is None:
-        return R_DISCARD, len(idx.ft_list)
-    ft = config.filetype(ft_name)
-    rank = config.filetype_rank(idx.crawler.name, ft_name)
-    if ft.is_target_only:
-        return R_TARGET, rank
-    if external and not ft.ignore_host:
-        if idx.crawler.external or idx.crawler.external_peek:
-            return R_EXTERNAL, rank
-        return R_DISCARD, rank
-    return R_FRONTIER, rank
+def build_indexes(config: CrawlConfig) -> Dict[str, FtIndex]:
+    return {c.name: FtIndex(config, c) for c in config.crawlers}
 
 
-def make_link_resolver(config: CrawlConfig, crawler_name: str):
+def make_link_resolver(config: CrawlConfig, default_crawler: str):
     """mapInPandas stage: fetched pages -> candidate link rows.
 
     Input rows carry the parent's parsed-URL fields, filetype, depth,
-    (parent_round, fetch_ord), redirect_count, external flag, plus the
-    joined document columns (spans, status, location). For 3xx rows
-    the Location header is the single candidate at the SAME depth
-    (ue_revert, urlengine.c:158-165); otherwise the filetype's parser
-    chain extracts links and children land at depth+1 (ue_add at the
-    utable level above, urlengine.c:420-424).
+    crawler, peek flag, (fetch_round, fetch_ord), redirect_count,
+    external flag, plus the joined document columns (spans, status,
+    location). For 3xx rows the Location header is the single
+    candidate at the SAME depth (ue_revert, urlengine.c:158-165);
+    otherwise the filetype's parser chain extracts links and children
+    land one level deeper.
     """
 
     def resolve(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx = FtIndex(config, config.crawler(crawler_name))
+        indexes = build_indexes(config)
         cols = [f.name for f in CANDIDATE_SCHEMA.fields]
 
         for pdf in it:
@@ -113,6 +108,13 @@ def make_link_resolver(config: CrawlConfig, crawler_name: str):
                     row.is_dynamic,
                     row.www,
                 )
+                cr_name = getattr(row, "crawler", None) or default_crawler
+                parent_peek = bool(getattr(row, "peek", False))
+                ft = config.filetype(row.filetype)
+                # crawler switch happens before the handler runs
+                eff_name = ft.switch_to or cr_name
+                idx = indexes[eff_name]
+
                 status = row.status
                 is_redirect = (
                     status is not None
@@ -128,7 +130,6 @@ def make_link_resolver(config: CrawlConfig, crawler_name: str):
                     child_depth = int(row.depth)
                     rcount = int(row.redirect_count) + 1
                 else:
-                    ft = config.filetype(row.filetype)
                     if not ft.parsers or row.spans is None:
                         continue
                     spans = [
@@ -146,18 +147,23 @@ def make_link_resolver(config: CrawlConfig, crawler_name: str):
                     rcount = 0
 
                 for six, href in pairs:
-                    res = add_url(base, href)
+                    res = add_url(base, href, bool(row.external))
                     if res is None:
                         continue
                     parsed, external = res
-                    if row.external and not external:
-                        external = True  # inherit parent's EXTERNAL
                     kind, name = idx.match_by_url(parsed)
                     needs_head = kind == HEAD
+                    depth = child_depth
+                    peek = parent_peek
                     if needs_head:
                         route, rank = None, None
                     elif kind == FT:
-                        route, rank = route_of(name, external, idx, config)
+                        route, rank, peek_start = route_of(
+                            name, external, idx, config, parent_peek
+                        )
+                        if peek_start:
+                            peek = True
+                            depth = 0
                     else:
                         name = None
                         route, rank = R_DISCARD, len(idx.ft_list)
@@ -178,7 +184,9 @@ def make_link_resolver(config: CrawlConfig, crawler_name: str):
                             name,
                             rank,
                             route,
-                            child_depth,
+                            eff_name,
+                            peek,
+                            depth,
                             int(row.fetch_round),
                             int(row.fetch_ord),
                             six,
@@ -190,23 +198,40 @@ def make_link_resolver(config: CrawlConfig, crawler_name: str):
     return resolve
 
 
-def make_head_classifier(config: CrawlConfig, crawler_name: str):
-    """pandas UDF body: resolve POSSIBLE_MATCH rows by content type
-    (the reference's HEAD request, worker.c:567-631). Input: content
-    type + external flag series; output struct (filetype, ft_rank,
-    route)."""
+def make_head_classifier(config: CrawlConfig, default_crawler: str):
+    """Resolve POSSIBLE_MATCH rows by content type (the reference's
+    HEAD request, worker.c:567-631) under the row's crawler; finalize
+    route/peek/depth."""
 
     def classify(pdf: pd.DataFrame) -> pd.DataFrame:
-        idx = FtIndex(config, config.crawler(crawler_name))
-        fts, ranks, routes = [], [], []
-        for ct, ext in zip(pdf["content_type"], pdf["external"]):
+        indexes = build_indexes(config)
+        fts, ranks, routes, peeks, depths = [], [], [], [], []
+        for ct, ext, cr_name, peek, depth in zip(
+            pdf["content_type"], pdf["external"], pdf["crawler"],
+            pdf["peek"], pdf["depth"],
+        ):
+            idx = indexes[cr_name or default_crawler]
             name = idx.match_by_mime(ct if isinstance(ct, str) else None)
-            route, rank = route_of(name, bool(ext), idx, config)
+            # a HEAD row's parent peek state is its tentative peek col
+            route, rank, peek_start = route_of(
+                name, bool(ext), idx, config, bool(peek)
+            )
+            if peek_start:
+                peek = True
+                depth = 0
             fts.append(name)
             ranks.append(rank)
             routes.append(route)
+            peeks.append(bool(peek))
+            depths.append(int(depth))
         return pd.DataFrame(
-            {"filetype": fts, "ft_rank": ranks, "route": routes}
+            {
+                "filetype": fts,
+                "ft_rank": ranks,
+                "route": routes,
+                "peek": peeks,
+                "depth": depths,
+            }
         )
 
     return classify

@@ -43,6 +43,34 @@ class Admission:
     filetype: Optional[str]
     ft_rank: int
     is_external: bool
+    peek_start: bool = False
+
+
+def route_of(
+    ft_name: Optional[str],
+    external: bool,
+    idx: FtIndex,
+    config: CrawlConfig,
+    parent_peek: bool = False,
+) -> tuple:
+    """(route, ft_rank, peek_start) — the bind_url routing
+    (worker.c:666-714). peek_start=True when an external URL begins an
+    external peek (EPEEK crawler, not already peeking,
+    worker.c:679-703)."""
+    if ft_name is None:
+        return R_DISCARD, len(idx.ft_list), False
+    ft = config.filetype(ft_name)
+    rank = config.filetype_rank(idx.crawler.name, ft_name)
+    if ft.is_target_only:
+        return R_TARGET, rank, False
+    if external and not ft.ignore_host:
+        cr = idx.crawler
+        if cr.external_peek and not parent_peek:
+            return R_FRONTIER, rank, True
+        if cr.external:
+            return R_EXTERNAL, rank, False
+        return R_DISCARD, rank, False
+    return R_FRONTIER, rank, False
 
 
 def admit_link(
@@ -53,6 +81,7 @@ def admit_link(
     seen_tryadd: Callable[[str], bool],
     content_type_of: Callable[[str], Optional[str]],
     base_external: bool = False,
+    parent_peek: bool = False,
 ) -> Optional[Admission]:
     """Admit one raw href. Returns None when nothing enters the
     pipeline (bad URL or already seen); an Admission with
@@ -63,14 +92,10 @@ def admit_link(
     when newly added. ``content_type_of(url)`` resolves POSSIBLE_MATCH
     rows (the reference's HEAD request).
     """
-    res = add_url(base, href)
+    res = add_url(base, href, base_external)
     if res is None:
         return None
     parsed, external = res
-    if base_external and not external:
-        # relative links inherit the parent's EXTERNAL flag
-        # (lm_url_combine keeps flags & ~DYNAMIC, url.c:296)
-        external = True
     if not seen_tryadd(parsed.seen_key):
         return None  # already crawled or queued
 
@@ -82,19 +107,10 @@ def admit_link(
     if kind != FT or name is None:
         return Admission(parsed, R_DISCARD, None, len(idx.ft_list), external)
 
-    ft = config.filetype(name)
-    rank = config.filetype_rank(idx.crawler.name, name)
-
-    if ft.is_target_only:
-        # no parser chain: target emitted at sort time, never fetched
-        return Admission(parsed, R_TARGET, name, rank, external)
-
-    if external and not ft.ignore_host:
-        if idx.crawler.external or idx.crawler.external_peek:
-            return Admission(parsed, R_EXTERNAL, name, rank, external)
-        return Admission(parsed, R_DISCARD, name, rank, external)
-
-    return Admission(parsed, R_FRONTIER, name, rank, external)
+    route, rank, peek_start = route_of(
+        name, external, idx, config, parent_peek
+    )
+    return Admission(parsed, route, name, rank, external, peek_start)
 
 
 def admit_seed(

@@ -56,6 +56,8 @@ class Row:
     sibling_ix: int
     redirect_count: int = 0
     external: bool = False
+    crawler: str = "default"
+    peek: bool = False
 
     @property
     def sort_key(self):
@@ -120,6 +122,7 @@ class OracleCrawler:
         self.config = config
         self.crawler = config.crawler(crawler)
         self.idx = FtIndex(config, self.crawler)
+        self.indexes = {c.name: FtIndex(config, c) for c in config.crawlers}
         self.budget = politeness_budget
         self.max_rounds = max_rounds
         self.robots_enabled = any(c.robotstxt for c in config.crawlers)
@@ -153,7 +156,6 @@ class OracleCrawler:
         metrics: List[RoundMetrics] = []
         seq = 0
         round_no = 0
-        limit = self.crawler.depth_limit
 
         for ix, raw in enumerate(seeds):
             adm = admit_seed(
@@ -165,7 +167,8 @@ class OracleCrawler:
                 targets.append(Target(adm.parsed.url, adm.filetype, {}, 0))
                 continue
             pending.append(
-                Row(adm.parsed, adm.filetype, adm.ft_rank, 0, -1, ix)
+                Row(adm.parsed, adm.filetype, adm.ft_rank, 0, -1, ix,
+                    crawler=self.crawler.name)
             )
 
         while round_no < self.max_rounds:
@@ -177,6 +180,7 @@ class OracleCrawler:
                 for host in sorted(parked):
                     for row in parked[host]:
                         row.depth = 0
+                        row.peek = False  # adoption is not a peek
                         pending.append(row)
                 parked.clear()
                 if not pending:
@@ -220,7 +224,8 @@ class OracleCrawler:
                         body, self.config.user_agent
                     )
                     m.robots_fetches += 1
-                if self.crawler.jail and row.depth == 0:
+                row_crawler = self.config.crawler(row.crawler)
+                if row_crawler.jail and row.depth == 0:
                     pu = row.parsed
                     jail.setdefault(
                         host_id,
@@ -231,7 +236,7 @@ class OracleCrawler:
                 # BSP contract: the jail prefix is the FIRST depth-0
                 # URL's directory per host; depth-0 rows always pass
                 # (the reference re-captures jail_url per root pop).
-                if self.crawler.jail and row.depth > 0:
+                if row_crawler.jail and row.depth > 0:
                     pu = row.parsed
                     dir_region = pu.url[pu.host_o + pu.host_l : pu.file_o]
                     jp = jail.get(host_id, "")
@@ -243,6 +248,13 @@ class OracleCrawler:
                 if rules and not robots_allows(rules, row.parsed.path):
                     m.robots_denied += 1
                     continue
+
+                # crawler switch (Q4): switch_to applies before the
+                # handler, so it covers redirects too (worker.c:747)
+                row_ft = self.config.filetype(row.filetype)
+                eff_name = row_ft.switch_to or row.crawler
+                eff = self.config.crawler(eff_name)
+                idx = self.indexes[eff_name]
 
                 doc = self.doc_map.get(row.parsed.url)
                 status = doc.status if doc else 404
@@ -271,18 +283,21 @@ class OracleCrawler:
                     # Location resolved like any link (absolute or
                     # relative), then re-admitted at the same depth
                     adm = admit_link(
-                        row.parsed, doc.location, self.idx,
+                        row.parsed, doc.location, idx,
                         self.config, tryadd, self._content_type_of,
+                        parent_peek=row.peek,
                     )
                     if adm is None:
                         m.deduped += 1
                         continue
                     if adm.route == R_FRONTIER:
+                        depth = 0 if adm.peek_start else row.depth
                         new_rows.append(
                             Row(
                                 adm.parsed, adm.filetype, adm.ft_rank,
-                                row.depth, my_seq, 0,
+                                depth, my_seq, 0,
                                 row.redirect_count + 1, adm.is_external,
+                                eff_name, row.peek or adm.peek_start,
                             )
                         )
                     elif adm.route == R_TARGET:
@@ -297,13 +312,13 @@ class OracleCrawler:
                         ).append(
                             Row(adm.parsed, adm.filetype, adm.ft_rank,
                                 0, my_seq, 0,
-                                row.redirect_count + 1, True)
+                                row.redirect_count + 1, True, eff_name)
                         )
                     else:
                         m.discarded += 1
                     continue
 
-                ft = self.config.filetype(row.filetype)
+                ft = row_ft
                 if not ft.parsers:
                     continue
                 links = extract_links_from_spans(
@@ -315,9 +330,10 @@ class OracleCrawler:
                 )
                 for six, href in enumerate(links):
                     adm = admit_link(
-                        row.parsed, href, self.idx, self.config,
+                        row.parsed, href, idx, self.config,
                         tryadd, self._content_type_of,
                         base_external=row.external,
+                        parent_peek=row.peek,
                     )
                     if adm is None:
                         m.deduped += 1
@@ -336,18 +352,27 @@ class OracleCrawler:
                             adm.parsed.host_identity, []
                         ).append(
                             Row(adm.parsed, adm.filetype, adm.ft_rank,
-                                0, my_seq, six, 0, True)
+                                0, my_seq, six, 0, True, eff_name)
                         )
                     else:  # frontier
-                        child_depth = row.depth + 1
-                        if limit and child_depth >= limit:
-                            # admitted (in seen) but never fetched —
-                            # ue_next discards over-limit levels
+                        child_peek = row.peek or adm.peek_start
+                        child_depth = (
+                            0 if adm.peek_start else row.depth + 1
+                        )
+                        # per-row depth budget: peek rows use the
+                        # crawler's peek_limit; the over-limit child
+                        # stays in the seen set but never fetches
+                        if child_peek:
+                            if child_depth >= eff.peek_limit:
+                                continue
+                        elif eff.depth_limit and (
+                            child_depth >= eff.depth_limit
+                        ):
                             continue
                         new_rows.append(
                             Row(adm.parsed, adm.filetype, adm.ft_rank,
                                 child_depth, my_seq, six, 0,
-                                adm.is_external)
+                                adm.is_external, eff_name, child_peek)
                         )
 
                 # attribute emission (P11): the html parser sets the

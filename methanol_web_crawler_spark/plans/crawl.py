@@ -54,8 +54,8 @@ from ..sources.tables import SnapshotStore
 FRONTIER_COLS = [
     "url", "host_o", "host_l", "file_o", "ext_o", "protocol",
     "is_dynamic", "www", "seen_key", "host", "filetype", "ft_rank",
-    "depth", "parent_round", "parent_ord", "sibling_ix",
-    "redirect_count", "external",
+    "crawler", "peek", "depth", "parent_round", "parent_ord",
+    "sibling_ix", "redirect_count", "external",
 ]
 
 FRONTIER_SCHEMA = T.StructType(
@@ -72,6 +72,8 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("host", T.StringType()),
         T.StructField("filetype", T.StringType()),
         T.StructField("ft_rank", T.IntegerType()),
+        T.StructField("crawler", T.StringType()),
+        T.StructField("peek", T.BooleanType()),
         T.StructField("depth", T.IntegerType()),
         T.StructField("parent_round", T.IntegerType()),
         T.StructField("parent_ord", T.LongType()),
@@ -124,6 +126,7 @@ class SparkCrawler:
         self.log_spans = log_spans
         self.max_rounds = max_rounds
         self.robots_enabled = any(c.robotstxt for c in config.crawlers)
+        self.jail_crawlers = [c.name for c in config.crawlers if c.jail]
         self.store = SnapshotStore(state_dir) if state_dir else None
 
         # the docs table is the synthetic web; only the columns a
@@ -170,8 +173,8 @@ class SparkCrawler:
                 (
                     p.url, p.host_o, p.host_l, p.file_o, p.ext_o,
                     p.protocol, p.is_dynamic, p.www_prefix, p.seen_key,
-                    p.host_identity, adm.filetype, adm.ft_rank, 0, -1,
-                    -1, ix, 0, False,
+                    p.host_identity, adm.filetype, adm.ft_rank,
+                    self.crawler_name, False, 0, -1, -1, ix, 0, False,
                 )
             )
         pending = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
@@ -276,7 +279,10 @@ class SparkCrawler:
             " greatest(file_o - host_o - host_l, 0)))"
         )
         return (
-            selected.filter(F.col("depth") == 0)
+            selected.filter(
+                (F.col("depth") == 0)
+                & F.col("crawler").isin(self.jail_crawlers)
+            )
             .groupBy("host")
             .agg(
                 F.min_by(
@@ -320,7 +326,7 @@ class SparkCrawler:
             spark.createDataFrame(
                 [], "host string, jail_prefix string"
             ).persist()
-            if self.crawler.jail
+            if self.jail_crawlers
             else None
         )
         return self._loop(
@@ -344,7 +350,7 @@ class SparkCrawler:
         if hosts is None:
             hosts = spark.createDataFrame([], self._hosts_schema())
         jail = None
-        if self.crawler.jail:
+        if self.jail_crawlers:
             jail = self.store.table("jail_state").read_latest(spark)
             if jail is None:
                 jail = spark.createDataFrame(
@@ -384,7 +390,7 @@ class SparkCrawler:
             spark.createDataFrame(
                 [], "host string, jail_prefix string"
             ).persist()
-            if self.crawler.jail
+            if self.jail_crawlers
             else None
         )
         return self._loop(
@@ -422,7 +428,7 @@ class SparkCrawler:
                     break
                 # host-adoption wave: parked rows re-enter at depth 0
                 pending.unpersist()
-                pending = parked.withColumn("depth", F.lit(0)).persist()
+                pending = parked.withColumn("depth", F.lit(0)).withColumn("peek", F.lit(False)).persist()
                 parked = None
                 if self.store:
                     self.store.table("frontier").append(
@@ -447,7 +453,7 @@ class SparkCrawler:
 
             # gates -----------------------------------------------------
             gated = selected
-            if self.crawler.jail:
+            if self.jail_crawlers:
                 if d == 0:
                     new_jail = self._jail_prefixes(selected).join(
                         jail.select("host"), "host", "left_anti"
@@ -459,7 +465,8 @@ class SparkCrawler:
                     " greatest(file_o - host_o - host_l, 0)))"
                 )
                 gated = gated.filter(
-                    (F.col("depth") == 0)
+                    ~F.col("crawler").isin(self.jail_crawlers)
+                    | (F.col("depth") == 0)
                     | F.col("jail_prefix").isNull()
                     | dir_region.startswith(F.col("jail_prefix"))
                 ).drop("jail_prefix")
@@ -595,10 +602,20 @@ class SparkCrawler:
                 )
 
             frontier_add = admitted.filter(F.col("route") == "frontier")
-            if self.crawler.depth_limit:
-                frontier_add = frontier_add.filter(
-                    F.col("depth") < self.crawler.depth_limit
+            # per-row depth budget: peek rows use their crawler's
+            # peek_limit, regular rows its depth_limit (0 = unlimited);
+            # over-limit rows stay in the seen set but never fetch
+            cond = F.lit(False)
+            for cr in self.config.crawlers:
+                nonpeek_ok = F.lit(cr.depth_limit == 0) | (
+                    F.col("depth") < cr.depth_limit
                 )
+                peek_ok = F.col("depth") < cr.peek_limit
+                cond = cond | (
+                    (F.col("crawler") == cr.name)
+                    & F.when(F.col("peek"), peek_ok).otherwise(nonpeek_ok)
+                )
+            frontier_add = frontier_add.filter(cond)
             frontier_add = frontier_add.select(*FRONTIER_COLS)
 
             external_add = admitted.filter(
@@ -724,11 +741,16 @@ def _head_mapper(head_classify):
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            res = head_classify(pdf[["content_type", "external"]])
+            res = head_classify(
+                pdf[["content_type", "external", "crawler", "peek",
+                     "depth"]]
+            )
             pdf = pdf.drop(columns=["content_type"])
             pdf["filetype"] = res["filetype"].values
             pdf["ft_rank"] = res["ft_rank"].values
             pdf["route"] = res["route"].values
+            pdf["peek"] = res["peek"].values
+            pdf["depth"] = res["depth"].values
             yield pdf[cols]
 
     return fn

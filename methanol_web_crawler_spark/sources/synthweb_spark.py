@@ -35,7 +35,7 @@ def _page_url(host_col, local_col, salt: int = 7) -> "F.Column":
     kind = _h(salt, host_col, local_col) % 100
     base = F.concat(
         F.lit("http://h"),
-        F.lpad(host_col.cast("string"), 4, "0"),
+        F.lpad(host_col.cast("string"), 6, "0"),
         F.lit(".test"),
     )
     l = local_col.cast("string")
@@ -193,7 +193,7 @@ def generate_web_df(
 
     has_media = (_h(seed + 4, host_col, local_col) % 100) < media_pct
     media_url = F.concat(
-        F.lit("http://h"), F.lpad(host_col.cast("string"), 4, "0"),
+        F.lit("http://h"), F.lpad(host_col.cast("string"), 6, "0"),
         F.lit(".test/img/m"),
         (_h(seed + 5, host_col, local_col) % 100).cast("string"),
         F.lit(".png"),
@@ -247,7 +247,7 @@ def generate_web_df(
     robots = hosts_df.filter(F.col("host_ix") % 2 == 0).select(
         F.concat(
             F.lit("http://h"),
-            F.lpad(F.col("host_ix").cast("string"), 4, "0"),
+            F.lpad(F.col("host_ix").cast("string"), 6, "0"),
             F.lit(".test/robots.txt"),
         ).alias("doc_id"),
         F.array(
