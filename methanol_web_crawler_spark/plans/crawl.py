@@ -49,6 +49,7 @@ from ..functions.udfs import (
     robots_gate,
 )
 from ..operators.admission import admit_seed
+from ..operators.seen import BLOOM_SCHEMA, BloomSeenFilter
 from ..sources.tables import SnapshotStore
 
 FRONTIER_COLS = [
@@ -113,6 +114,8 @@ class SparkCrawler:
         collect_metrics: bool = True,
         log_spans: bool = False,
         max_rounds: int = 10_000,
+        bloom_buckets: int = 0,
+        bloom_bits: int = 1 << 20,
     ):
         self.spark = spark
         self.config = config
@@ -128,6 +131,12 @@ class SparkCrawler:
         self.robots_enabled = any(c.robotstxt for c in config.crawlers)
         self.jail_crawlers = [c.name for c in config.crawlers if c.jail]
         self.store = SnapshotStore(state_dir) if state_dir else None
+        self.bloom = (
+            BloomSeenFilter(spark, n_buckets=bloom_buckets,
+                            m_bits=bloom_bits)
+            if bloom_buckets
+            else None
+        )
 
         # the docs table is the synthetic web; only the columns a
         # round needs are projected (column pruning reaches the scan)
@@ -321,6 +330,8 @@ class SparkCrawler:
                     0, collect_lineage=False,
                 )
         stats.targets += len(seed_targets)
+        if self.bloom is not None:
+            self.bloom.update(seen.select("key_hash"))
         hosts = spark.createDataFrame([], self._hosts_schema()).persist()
         jail = (
             spark.createDataFrame(
@@ -360,6 +371,10 @@ class SparkCrawler:
         parked = self.store.table("parked_state").read_latest(spark)
         if parked is not None and parked.isEmpty():
             parked = None
+        if self.bloom is not None:
+            state = self.store.table("bloom_state").read_latest(spark)
+            if state is not None:
+                self.bloom.state = state.localCheckpoint()
         return self._loop(
             pending.persist(),
             seen.persist(),
@@ -554,10 +569,22 @@ class SparkCrawler:
                 .drop("rn")
             )
 
-            # global dedup: exact anti-join against the seen set ---------
-            new_links = candidates.join(
-                seen.select("seen_key"), "seen_key", "left_anti"
-            )
+            # global dedup: bloom prefilter + exact anti-join -------------
+            if self.bloom is not None:
+                cand_hashed = candidates.withColumn(
+                    "key_hash", F.xxhash64("seen_key")
+                )
+                definitely_new, maybe = self.bloom.split(cand_hashed)
+                checked = maybe.join(
+                    seen.select("seen_key"), "seen_key", "left_anti"
+                )
+                new_links = definitely_new.unionByName(checked).drop(
+                    "key_hash"
+                )
+            else:
+                new_links = candidates.join(
+                    seen.select("seen_key"), "seen_key", "left_anti"
+                )
 
             # HEAD resolution (F3): content-type join for POSSIBLE_MATCH -
             head_rows = new_links.filter(F.col("needs_head"))
@@ -591,6 +618,12 @@ class SparkCrawler:
                 self.store.table("seen").append(seen_delta, r,
                                                 collect_lineage=True)
             new_seen = seen.unionByName(seen_delta)
+            if self.bloom is not None:
+                self.bloom.update(seen_delta.select("key_hash"))
+                if self.store:
+                    self.store.table("bloom_state").append(
+                        self.bloom.state, r + 1, collect_lineage=False
+                    )
 
             # routing ------------------------------------------------------
             targets_df = admitted.filter(F.col("route") == "target").select(
