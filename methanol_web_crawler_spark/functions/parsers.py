@@ -280,3 +280,52 @@ def extract_css_urls(body: str) -> List[str]:
             links.append(body[p:s])
         p = body.find("url", s)
     return links
+
+
+# ---------------------------------------------------------------------------
+# Parser registry (P8/P9): pluggable parser functions + chaining
+# ---------------------------------------------------------------------------
+#
+# The reference lets configs chain parsers ("parser = \"a, b, c\"",
+# metha.c:1219-1235) where each stage may REWRITE the shared buffer
+# before the next runs (worker.c:836-911), and user JS parsers return
+# URL arrays. Here a parser is a named Python function of one of two
+# kinds:
+#   "extract":   fn(text) -> list[str]   (emits candidate hrefs)
+#   "transform": fn(text) -> str         (rewrites the buffer)
+# Users plug their own with register_parser() — the Python-native
+# replacement for the reference's JS/E4X parsers (P8).
+
+import html as _htmllib
+
+_PARSER_REGISTRY = {}
+
+
+def register_parser(name: str, fn, kind: str = "extract") -> None:
+    assert kind in ("extract", "transform")
+    _PARSER_REGISTRY[name] = (kind, fn)
+
+
+def resolve_parser(name: str):
+    """(kind, fn) for a parser name, or None if unknown."""
+    return _PARSER_REGISTRY.get(name)
+
+
+def entity_decode(text: str) -> str:
+    """entityconv (P7): SGML/HTML entities -> unicode text
+    (entityconv.c's ~250-entity table, expressed via the stdlib's
+    superset table)."""
+    return _htmllib.unescape(text)
+
+
+def _register_builtins():
+    from .xmlconv import html_to_xml
+
+    register_parser("html", extract_html_links, "extract")
+    register_parser("text", extract_text_urls, "extract")
+    register_parser("css", extract_css_urls, "extract")
+    register_parser("xmlconv", html_to_xml, "transform")
+    register_parser("entityconv", entity_decode, "transform")
+
+
+_register_builtins()

@@ -159,11 +159,7 @@ def extract_links_from_spans(spans: List[dict], parsers: tuple) -> List[str]:
     reference's html parser would see). The span *sequence itself* is
     never altered — the per-row span invariant is preserved upstream.
     """
-    from ..functions.parsers import (
-        extract_css_urls,
-        extract_html_links,
-        extract_text_urls,
-    )
+    from ..functions.parsers import resolve_parser
 
     links: List[str] = []
     for span in spans:
@@ -176,11 +172,15 @@ def extract_links_from_spans(spans: List[dict], parsers: tuple) -> List[str]:
             continue
         if not text:
             continue
+        # parser chaining (P9): transform stages rewrite the buffer
+        # for later stages; extract stages emit candidate hrefs
         for parser in parsers:
-            if parser == "html":
-                links.extend(extract_html_links(text))
-            elif parser == "text":
-                links.extend(extract_text_urls(text))
-            elif parser == "css":
-                links.extend(extract_css_urls(text))
+            entry = resolve_parser(parser)
+            if entry is None:
+                continue
+            pkind, fn = entry
+            if pkind == "transform":
+                text = fn(text)
+            else:
+                links.extend(fn(text))
     return links
