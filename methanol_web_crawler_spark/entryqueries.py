@@ -802,3 +802,53 @@ def crawl_flagship(spark, sf_dir):
         ],
         "round int, depth int, fetched long, admitted long, targets long",
     )
+
+
+_JACCARD_EDGES_SQL = """
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS doc, t.token
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ), sizes AS (
+      SELECT doc, count(*) AS n FROM tok GROUP BY doc
+    ), pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             sa.n AS n_a, sb.n AS n_b, count(*) AS n_inter
+      FROM tok a
+      JOIN tok b ON a.token = b.token AND a.doc < b.doc
+      JOIN sizes sa ON sa.doc = a.doc
+      JOIN sizes sb ON sb.doc = b.doc
+      WHERE a.doc % 7 = 0 AND b.doc % 5 = 0
+      GROUP BY a.doc, b.doc, sa.n, sb.n
+    )
+    SELECT doc_a, doc_b FROM pairs
+    WHERE round(n_inter / (n_a + n_b - n_inter), 6) >= 0.3
+"""
+
+
+@_register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE e AS ({_JACCARD_EDGES_SQL}),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM e
+      UNION SELECT doc_b, doc_a FROM e
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM und),
+    reach(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node
+    )
+    SELECT node AS doc, min(comp) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup clusters: connected components over the Jaccard pair
+    graph via iterative min-label propagation — the scalable
+    clustering step after LSH candidate generation (oracle: a
+    recursive-CTE transitive closure)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = dd.ngram_jaccard_pairs(d, "doc_id", "text")
+    return dd.connected_components(edges)

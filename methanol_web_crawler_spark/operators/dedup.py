@@ -232,3 +232,55 @@ def embedding_cosine_pairs(
     return pairs.orderBy(
         F.col("cosine").desc(), "id_a", "id_b"
     ).limit(top_n)
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup clusters: connected components over a pair list via
+    iterative min-label propagation (the alternating small-star /
+    large-star shape — each iteration is one join + aggregate, the
+    scalable way to cluster 10^9 LSH candidate pairs; no driver-side
+    graph).
+
+    Returns (doc, component) where component is the minimum doc id
+    reachable. Converges in O(log n) iterations on typical dedup
+    graphs; ``max_iter`` bounds pathological chains.
+    """
+    from pyspark.sql import functions as F
+
+    # undirected edge list + self-loops
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = fwd.unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # propagate the min label across one hop
+        prop = (
+            und.join(labels, und.a == labels.node)
+            .select(F.col("b").alias("node"),
+                    F.col("component").alias("cand"))
+        )
+        new_labels = (
+            labels.select("node", F.col("component").alias("cand"))
+            .unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("cand").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), "component")

@@ -130,6 +130,15 @@ class SparkCrawler:
         self.max_rounds = max_rounds
         self.robots_enabled = any(c.robotstxt for c in config.crawlers)
         self.jail_crawlers = [c.name for c in config.crawlers if c.jail]
+        # static plan pruning: HEAD (POSSIBLE_MATCH) rows can only
+        # exist when some crawler has a "lookup" binding — otherwise
+        # the whole content-type resolution stage is dropped
+        self.any_lookup = any(
+            b == "lookup"
+            for c in config.crawlers
+            for b in (c.dynamic_url, c.extless_url, c.dir_url,
+                      c.unknown_url)
+        )
         self.store = SnapshotStore(state_dir) if state_dir else None
         self.bloom = (
             BloomSeenFilter(spark, n_buckets=bloom_buckets,
@@ -586,27 +595,33 @@ class SparkCrawler:
                     seen.select("seen_key"), "seen_key", "left_anti"
                 )
 
-            # HEAD resolution (F3): content-type join for POSSIBLE_MATCH -
-            head_rows = new_links.filter(F.col("needs_head"))
-            plain_rows = new_links.filter(~F.col("needs_head"))
-            resolved_head = (
-                head_rows.drop("filetype", "ft_rank", "route")
-                .join(
-                    self.docs_ct,
-                    F.col("url") == F.col("doc_id"),
-                    "left",
+            # HEAD resolution (F3): content-type join for POSSIBLE_MATCH
+            # (statically pruned when no crawler has a "lookup" binding
+            # — then needs_head is always false)
+            if self.any_lookup:
+                head_rows = new_links.filter(F.col("needs_head"))
+                plain_rows = new_links.filter(~F.col("needs_head"))
+                resolved_head = (
+                    head_rows.drop("filetype", "ft_rank", "route")
+                    .join(
+                        self.docs_ct,
+                        F.col("url") == F.col("doc_id"),
+                        "left",
+                    )
+                    .drop("doc_id")
+                    .mapInPandas(
+                        _head_mapper(head_classify),
+                        CANDIDATE_SCHEMA,
+                    )
                 )
-                .drop("doc_id")
-                .mapInPandas(
-                    _head_mapper(head_classify),
-                    CANDIDATE_SCHEMA,
-                )
-            )
+                admitted = plain_rows.unionByName(resolved_head)
+            else:
+                admitted = new_links
             # checkpoint the (small) per-round delta: everything
             # downstream (seen delta, targets, frontier add, parked)
             # then reads a materialized scan instead of re-nesting the
             # whole round pipeline — keeps all cross-round plans flat
-            admitted = plain_rows.unionByName(resolved_head).localCheckpoint()
+            admitted = admitted.localCheckpoint()
 
             # seen delta --------------------------------------------------
             seen_delta = admitted.select(
