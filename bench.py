@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_components",
     "ann_brute_topk",
     "ann_lsh_topk",
     "text_fingerprint",
