@@ -852,3 +852,55 @@ def dedup_components(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     edges = dd.ngram_jaccard_pairs(d, "doc_id", "text")
     return dd.connected_components(edges)
+
+
+@_register(
+    "rel_explode_top_tokens",
+    """
+    SELECT token, count(*) AS doc_freq FROM (
+      SELECT DISTINCT doc_id, t.token
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ) GROUP BY token ORDER BY doc_freq DESC, token LIMIT 20
+    """,
+)
+def rel_explode_top_tokens(spark, sf_dir):
+    """§2.5 explode/flatMap + hash-agg + sort/limit: top tokens by
+    document frequency."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(20)
+    )
+
+
+@_register(
+    "rel_union_distinct",
+    """
+    SELECT DISTINCT n_name FROM (
+      SELECT n.n_name FROM customer c JOIN nation n
+        ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT n.n_name FROM supplier s JOIN nation n
+        ON s.s_nationkey = n.n_nationkey
+    )
+    """,
+)
+def rel_union_distinct(spark, sf_dir):
+    """§2.5 set ops: union + distinct (frontier ∪ new-links shape)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    a = c.join(n, c.c_nationkey == n.n_nationkey).select("n_name")
+    b = s.join(n, s.s_nationkey == n.n_nationkey).select("n_name")
+    return a.unionByName(b).distinct()

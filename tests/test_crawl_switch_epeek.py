@@ -212,3 +212,70 @@ class TestExternalPeek:
             r["url"] for r in log.orderBy("round", "fetch_ord").collect()
         ]
         assert got == oracle.fetched_urls
+
+
+def jail_config():
+    html = Filetype(
+        name="html", extensions=("html",),
+        mimetypes=("text/html",), parsers=("html",),
+    )
+    cr = Crawler(
+        name="jailer", filetypes=("html",), jail=True,
+        dynamic_url="discard", extless_url="discard",
+        dir_url="@html", unknown_url="discard",
+    )
+    cfg = CrawlConfig(filetypes=(html,), crawlers=(cr,))
+    cfg.validate()
+    return cfg
+
+
+class TestJail:
+    def make_web(self):
+        docs = [
+            html_doc("http://a.test/sub/index.html",
+                     ["inside.html", "/other/out.html",
+                      "/sub/deep/two.html"]),
+            html_doc("http://a.test/sub/inside.html", []),
+            html_doc("http://a.test/other/out.html", ["esc.html"]),
+            html_doc("http://a.test/other/esc.html", []),
+            html_doc("http://a.test/sub/deep/two.html", []),
+        ]
+        return SynthWeb(docs=docs,
+                        seeds=["http://a.test/sub/index.html"])
+
+    def test_oracle_jail_confines(self):
+        web = self.make_web()
+        res = OracleCrawler(
+            web.doc_map, jail_config(), crawler="jailer"
+        ).run(web.seeds)
+        fetched = set(res.fetched_urls)
+        assert "http://a.test/sub/inside.html" in fetched
+        # prefix match: /sub/deep/ is beneath /sub -> allowed
+        assert "http://a.test/sub/deep/two.html" in fetched
+        # outside the jail dir: admitted (seen) but never fetched
+        assert "http://a.test/other/out.html" not in fetched
+        assert any("out.html" in k for k in res.seen)
+        # its children are never discovered
+        assert not any("esc.html" in k for k in res.seen)
+
+    def test_engine_matches_oracle(self, spark, tmp_path):
+        web = self.make_web()
+        cfg = jail_config()
+        oracle = OracleCrawler(web.doc_map, cfg, crawler="jailer").run(
+            web.seeds
+        )
+        engine = SparkCrawler(
+            spark, web.to_spark(spark), cfg, crawler="jailer",
+            state_dir=str(tmp_path),
+        )
+        engine.run(web.seeds)
+        got_seen = {
+            r["seen_key"]
+            for r in engine._final_seen.select("seen_key").collect()
+        }
+        assert got_seen == oracle.seen
+        log = engine.store.table("crawl_log").read_until(spark)
+        got = [
+            r["url"] for r in log.orderBy("round", "fetch_ord").collect()
+        ]
+        assert got == oracle.fetched_urls
