@@ -24,7 +24,12 @@ from dataclasses import dataclass
 from typing import Callable, List, Optional
 
 from ..config import CrawlConfig
-from ..functions.canonicalize import ParsedUrl, add_url, parse_url
+from ..functions.canonicalize import (
+    ParsedUrl,
+    add_url,
+    guess_seed_url,
+    parse_url,
+)
 from ..functions.classify import FT, HEAD, FtIndex
 
 # routing outcomes
@@ -120,11 +125,12 @@ def admit_seed(
     seen_tryadd: Callable[[str], bool],
     content_type_of: Callable[[str], Optional[str]],
 ) -> Optional[Admission]:
-    """Seed admission (ue_add_initial + the initial sort,
-    worker.c:238-246): absolute parse only; bind initial_filetype when
-    the crawler sets one, else classify like any URL. Seeds are never
-    external."""
-    parsed = parse_url(raw)
+    """Seed admission (lm_strtourl protocol guessing + ue_add_initial
+    + the initial sort, str.c:35-66 / worker.c:238-246): protocol-less
+    seeds get file:///ftp:///http:// guessed like the mb CLI; bind
+    initial_filetype when the crawler sets one, else classify like any
+    URL. Seeds are never external."""
+    parsed = parse_url(guess_seed_url(raw))
     if parsed is None:
         return None
     if not seen_tryadd(parsed.seen_key):

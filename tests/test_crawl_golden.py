@@ -218,3 +218,19 @@ class TestResume:
 
         assert seen_of(engine_b) == full_seen
         assert rounds_of(engine_b, spark) == full_rounds
+
+
+class TestSeedGuessing:
+    def test_protocol_less_seeds(self, spark, tmp_path):
+        """CLI-style seeds without protocol crawl identically in
+        oracle and engine (lm_strtourl guessing)."""
+        web = generate_web(n_docs=30, n_hosts=2, seed=111)
+        bare_seeds = [s.replace("http://", "") for s in web.seeds]
+        cfg = default_config()
+        oracle = OracleCrawler(web.doc_map, cfg).run(bare_seeds)
+        engine = SparkCrawler(
+            spark, web.to_spark(spark), cfg, state_dir=str(tmp_path)
+        )
+        engine.run(bare_seeds)
+        assert seen_of(engine) == oracle.seen
+        assert len(oracle.fetched_urls) > 5
