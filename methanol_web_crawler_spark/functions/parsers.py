@@ -319,9 +319,11 @@ def entity_decode(text: str) -> str:
 
 
 def _register_builtins():
+    from .ftplist import extract_ftp_links
     from .xmlconv import html_to_xml
 
     register_parser("html", extract_html_links, "extract")
+    register_parser("ftp", extract_ftp_links, "extract")
     register_parser("text", extract_text_urls, "extract")
     register_parser("css", extract_css_urls, "extract")
     register_parser("xmlconv", html_to_xml, "transform")

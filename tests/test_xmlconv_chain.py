@@ -101,3 +101,44 @@ class TestChaining:
         assert extract_links_from_spans(spans, ("html",)) == [
             "http://a.test/i.png"
         ]
+
+
+class TestFtpListing:
+    def test_unix_ls(self):
+        from methanol_web_crawler_spark.functions.ftplist import (
+            extract_ftp_links,
+        )
+
+        listing = (
+            "drwxr-xr-x   2 ftp  ftp   4096 Jan 10 12:00 pub\n"
+            "-rw-r--r--   1 ftp  ftp  10240 Jan 10  2024 file.tar.gz\n"
+            "lrwxrwxrwx   1 ftp  ftp      7 Jan 10 12:00 latest -> pub\n"
+            "garbage line\n"
+        )
+        assert extract_ftp_links(listing) == [
+            "pub/", "file.tar.gz", "latest/",
+        ]
+
+    def test_eplf_and_msdos(self):
+        from methanol_web_crawler_spark.functions.ftplist import (
+            extract_ftp_links,
+        )
+
+        listing = (
+            "+i8388621.48594,m825718503,r,s280,\tdjb.html\n"
+            "+i8388621.50690,m824255907,/,\t514\n"
+            "01-10-24  10:00AM       <DIR>          docs\n"
+            "01-10-24  10:00AM              4096    readme.txt\n"
+        )
+        assert extract_ftp_links(listing) == [
+            "djb.html", "514/", "docs/", "readme.txt",
+        ]
+
+    def test_ftp_chain_over_spans(self):
+        spans = [T(text=(
+            "drwxr-xr-x   2 ftp ftp 4096 Jan 10 12:00 sub\n"
+            "-rw-r--r--   1 ftp ftp  100 Jan 10 12:00 a.txt\n"
+        ))]
+        assert extract_links_from_spans(spans, ("ftp",)) == [
+            "sub/", "a.txt",
+        ]
