@@ -63,3 +63,53 @@ class TestSessionizeStream:
         ).collect()
         assert sum(r["fetched"] for r in out) == 60
         assert {r["host"] for r in out} == {f"h{i}" for i in range(5)}
+
+
+class TestStreamingDedup:
+    def test_first_seen_only(self, spark, tmp_path):
+        from methanol_web_crawler_spark.streaming.dedup_stream import (
+            streaming_dedup,
+        )
+
+        # two micro-batches with overlap: batch2 repeats half of batch1
+        d1 = spark.createDataFrame(
+            [(f"http://h{i % 4}.test/p{i}",) for i in range(40)],
+            "url string",
+        )
+        d2 = spark.createDataFrame(
+            [(f"http://h{i % 4}.test/p{i}",) for i in range(20, 60)],
+            "url string",
+        )
+        src = str(tmp_path / "in")
+        d1.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("url string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = (
+            streaming_dedup(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        first = spark.sql("select url from dedup_out").collect()
+        assert len(first) == 40  # all new
+
+        d2.write.mode("append").parquet(src)
+        q2 = (
+            streaming_dedup(
+                spark.readStream.schema("url string").parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("dedup_out2")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        rows = spark.sql("select url from dedup_out2").collect()
+        # 40 + 40 urls with 20 overlaps -> 60 unique emitted
+        assert len(rows) == 60
+        assert len({r["url"] for r in rows}) == 60
