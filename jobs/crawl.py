@@ -31,8 +31,12 @@ def main(argv=None):
     ap.add_argument("--state-dir", required=True)
     ap.add_argument("--crawler", default="default",
                     choices=["default", "media"])
-    ap.add_argument("--budget", type=int, default=0,
+    ap.add_argument("--budget", type=int, default=None,
                     help="politeness: max fetches per host per round")
+    ap.add_argument("--politeness-mode", default="aggressive",
+                    choices=["aggressive", "friendly", "coward"],
+                    help="reference politeness mode preset "
+                         "(overridden by --budget)")
     ap.add_argument("--depth-limit", type=int, default=0)
     ap.add_argument("--max-rounds", type=int, default=10_000)
     ap.add_argument("--salt-k", type=int, default=0,
@@ -54,6 +58,7 @@ def main(argv=None):
     from methanol_web_crawler_spark.config import (
         default_config,
         media_config,
+        politeness_budget_for,
     )
     from methanol_web_crawler_spark.plans.crawl import SparkCrawler
 
@@ -83,7 +88,11 @@ def main(argv=None):
         docs,
         cfg,
         crawler=cfg.crawlers[0].name,
-        politeness_budget=args.budget,
+        politeness_budget=(
+            args.budget
+            if args.budget is not None
+            else politeness_budget_for(args.politeness_mode)
+        ),
         strict_order=not args.no_strict_order,
         state_dir=args.state_dir,
         salt_k=args.salt_k,

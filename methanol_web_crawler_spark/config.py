@@ -224,3 +224,19 @@ def media_config(**crawler_overrides) -> CrawlConfig:
     )
     cfg.validate()
     return cfg
+
+
+# The reference's politeness modes (metha.c:71-79: aggressive = 0s
+# between transfers, friendly = 10s GET / 2s HEAD forcing a single
+# synchronous worker, coward = 30s/5s) re-expressed as per-host
+# per-round fetch budgets — the BSP analog of inter-transfer waits
+# (SURVEY.md §2.4 Q10). 0 = unlimited.
+POLITENESS_MODES = {
+    "aggressive": 0,
+    "friendly": 6,
+    "coward": 2,
+}
+
+
+def politeness_budget_for(mode: str) -> int:
+    return POLITENESS_MODES[mode]
