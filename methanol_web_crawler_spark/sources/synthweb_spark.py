@@ -71,6 +71,7 @@ def generate_web_df(
     media_pct: int = 20,
     partitions: int = 32,
     n_seeds: int = 3,
+    text_repeat: int = 1,
 ) -> Tuple[DataFrame, List[str]]:
     """Returns (docs DataFrame in the input_hint shape, seed URLs)."""
     counts = _zipf_counts(n_docs, n_hosts, zipf_s, None)
@@ -131,8 +132,14 @@ def generate_web_df(
         _h(seed + 1, host_col, local_col) % 2
     )
 
+    # text_repeat scales the per-document text volume toward realistic
+    # page sizes (real pages are tens of KB; parse/canonicalize cost
+    # should dominate like a real crawl)
     words = F.concat(
-        F.lit("crawl frontier shuffle depth host token span round doc "),
+        F.lit(
+            "crawl frontier shuffle depth host token span round doc "
+            * max(1, text_repeat)
+        ),
         (_h(seed + 2, host_col, local_col) % 1000).cast("string"),
     )
 
