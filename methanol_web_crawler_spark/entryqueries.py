@@ -654,7 +654,8 @@ def text_token_counts(spark, sf_dir):
     "text_fingerprint",
     f"""
     SELECT doc_id AS doc,
-           sum((pos * h) % {1073741789}) % {1073741789} AS fingerprint
+           CAST(sum((pos * h) % {1073741789}) % {1073741789} AS BIGINT)
+             AS fingerprint
     FROM (
       SELECT doc_id, pos,
              ('0x' || substr(md5(token), 1, 15))::BIGINT
@@ -689,10 +690,10 @@ def text_fingerprint(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessioned AS (
       SELECT user_id, event_id,
-             sum(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING)
-               AS session_ix
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_ix
       FROM marked
     )
     SELECT user_id, session_ix, count(*) AS n_events,
