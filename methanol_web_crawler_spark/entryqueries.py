@@ -545,8 +545,48 @@ def ann_brute_topk(spark, sf_dir):
     return sim.brute_force_topk(e, "vec_id", "embedding")
 
 
-@_register("ann_lsh_topk")  # no SQL oracle: rows-only check (LSH recall
-# is approximate by construction; the exact-path twin is ann_brute_topk)
+def _ann_lsh_sql(n_queries: int = 5, k: int = 10,
+                 n_planes: int = 6, dim: int = 64) -> str:
+    """Exact DuckDB oracle for lsh_topk: the sin(i*997+j) hyperplanes
+    are embedded as full-precision double literals generated by the
+    SAME Python hyperplanes() the engine lowers into F.lit columns, so
+    both engines bucket against bit-identical planes (no libm-sin
+    parity risk). Dot-product + round(,4) parity across engines is
+    already proven by ann_brute_topk."""
+    planes = sim.hyperplanes(dim, n_planes)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS norm
+      FROM embeddings
+    ), bucketed AS (
+      SELECT id, vec, norm,
+             CAST({bucket_terms} AS INTEGER) AS bucket
+      FROM base
+    ), scored AS (
+      SELECT q.id AS query_id, b.id AS neighbor_id,
+             round(list_dot_product(b.vec, q.vec) / (b.norm * q.norm), 4)
+               AS cosine
+      FROM bucketed b JOIN bucketed q
+        ON b.bucket = q.bucket AND b.id <> q.id
+      WHERE q.id < {n_queries}
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)
+               AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+
+
+@_register("ann_lsh_topk", _ann_lsh_sql())
 def ann_lsh_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return sim.lsh_topk(e, "vec_id", "embedding")
@@ -778,12 +818,130 @@ def _sf_params(sf_dir: str):
     return (120, 4)
 
 
-@_register("crawl_flagship")  # rows-only: iterative multi-job pipeline
+# Golden per-round metrics for the flagship crawl, generated ONCE from
+# the pure-Python oracle (oracle/crawler.py) and cross-checked against
+# SparkCrawler at every size (engine == oracle, verified 2026-08-16).
+# The crawl reads no parquet -- it runs over generate_web(seed=42) sized
+# by _SF_SIZES -- so the result is fully deterministic per scale factor.
+# The SQL oracle picks the branch via the orders row count (1500 at
+# sf0.001, 15000 at sf0.01, 150000 at sf0.1), letting one static SQL
+# string stay valid at every sf the driver or pytest runs.
+_FLAGSHIP_GOLDEN_SQL = """
+    SELECT round, depth,
+           CAST(fetched AS BIGINT) AS fetched,
+           CAST(admitted AS BIGINT) AS admitted,
+           CAST(targets AS BIGINT) AS targets
+    FROM (VALUES
+    (1500, 0, 0, 3, 6, 0),
+    (1500, 1, 1, 3, 7, 0),
+    (1500, 2, 2, 4, 6, 0),
+    (1500, 3, 3, 6, 12, 0),
+    (1500, 4, 4, 8, 15, 0),
+    (1500, 5, 5, 9, 19, 0),
+    (1500, 6, 6, 7, 12, 0),
+    (1500, 7, 7, 7, 5, 0),
+    (1500, 8, 8, 2, 2, 0),
+    (1500, 9, 9, 1, 1, 0),
+    (15000, 0, 0, 3, 14, 0),
+    (15000, 1, 1, 9, 28, 0),
+    (15000, 2, 1, 1, 2, 0),
+    (15000, 3, 2, 10, 18, 0),
+    (15000, 4, 2, 1, 4, 0),
+    (15000, 5, 3, 13, 41, 0),
+    (15000, 6, 3, 1, 1, 0),
+    (15000, 7, 4, 23, 65, 0),
+    (15000, 8, 5, 33, 67, 0),
+    (15000, 9, 5, 2, 6, 0),
+    (15000, 10, 6, 32, 58, 0),
+    (15000, 11, 7, 33, 44, 0),
+    (15000, 12, 7, 1, 2, 0),
+    (15000, 13, 8, 26, 48, 0),
+    (15000, 14, 8, 1, 3, 0),
+    (15000, 15, 9, 25, 38, 0),
+    (15000, 16, 10, 22, 32, 0),
+    (15000, 17, 11, 18, 36, 0),
+    (15000, 18, 11, 1, 1, 0),
+    (15000, 19, 12, 21, 32, 0),
+    (15000, 20, 12, 1, 1, 0),
+    (15000, 21, 13, 16, 31, 0),
+    (15000, 22, 14, 13, 21, 0),
+    (15000, 23, 15, 11, 20, 0),
+    (15000, 24, 16, 8, 15, 0),
+    (15000, 25, 17, 8, 13, 0),
+    (15000, 26, 18, 8, 12, 0),
+    (15000, 27, 19, 7, 7, 0),
+    (15000, 28, 19, 1, 1, 0),
+    (15000, 29, 20, 5, 4, 0),
+    (15000, 30, 21, 2, 3, 0),
+    (15000, 31, 22, 2, 3, 0),
+    (15000, 32, 23, 1, 1, 0),
+    (15000, 33, 24, 1, 1, 0),
+    (15000, 34, 25, 1, 1, 0),
+    (150000, 0, 0, 2, 7, 0),
+    (150000, 1, 1, 4, 13, 0),
+    (150000, 2, 2, 5, 8, 0),
+    (150000, 3, 3, 3, 8, 0),
+    (150000, 4, 4, 4, 11, 0),
+    (150000, 5, 5, 5, 10, 0),
+    (150000, 6, 6, 4, 10, 0),
+    (150000, 7, 7, 4, 9, 0),
+    (150000, 8, 8, 5, 12, 0),
+    (150000, 9, 8, 1, 5, 0),
+    (150000, 10, 9, 8, 24, 0),
+    (150000, 11, 10, 13, 35, 0),
+    (150000, 12, 11, 12, 34, 0),
+    (150000, 13, 12, 18, 33, 0),
+    (150000, 14, 13, 19, 56, 0),
+    (150000, 15, 14, 35, 75, 0),
+    (150000, 16, 14, 1, 3, 0),
+    (150000, 17, 15, 43, 97, 0),
+    (150000, 18, 15, 2, 4, 0),
+    (150000, 19, 16, 60, 157, 0),
+    (150000, 20, 17, 91, 204, 0),
+    (150000, 21, 17, 2, 4, 0),
+    (150000, 22, 18, 130, 269, 0),
+    (150000, 23, 18, 3, 5, 0),
+    (150000, 24, 19, 183, 341, 0),
+    (150000, 25, 19, 4, 4, 0),
+    (150000, 26, 20, 221, 365, 0),
+    (150000, 27, 20, 8, 13, 0),
+    (150000, 28, 21, 249, 410, 0),
+    (150000, 29, 21, 6, 11, 0),
+    (150000, 30, 22, 261, 390, 0),
+    (150000, 31, 22, 4, 8, 0),
+    (150000, 32, 23, 237, 319, 0),
+    (150000, 33, 23, 5, 4, 0),
+    (150000, 34, 24, 187, 231, 0),
+    (150000, 35, 24, 1, 4, 0),
+    (150000, 36, 25, 137, 172, 0),
+    (150000, 37, 25, 7, 8, 0),
+    (150000, 38, 26, 102, 140, 0),
+    (150000, 39, 26, 5, 4, 0),
+    (150000, 40, 27, 74, 96, 0),
+    (150000, 41, 27, 2, 5, 0),
+    (150000, 42, 28, 62, 89, 0),
+    (150000, 43, 29, 52, 76, 0),
+    (150000, 44, 29, 3, 2, 0),
+    (150000, 45, 30, 46, 56, 0),
+    (150000, 46, 31, 32, 37, 0),
+    (150000, 47, 32, 19, 28, 0),
+    (150000, 48, 33, 11, 12, 0),
+    (150000, 49, 33, 1, 0, 0),
+    (150000, 50, 34, 6, 5, 0),
+    (150000, 51, 35, 2, 1, 0),
+    (150000, 52, 36, 1, 0, 0)
+    ) AS t(sf_orders, round, depth, fetched, admitted, targets)
+    WHERE sf_orders = (SELECT count(*) FROM orders)
+"""
+
+
+@_register("crawl_flagship", _FLAGSHIP_GOLDEN_SQL)
 def crawl_flagship(spark, sf_dir):
     """End-to-end crawl over the deterministic synthetic web, sized by
     scale factor. Returns per-round metrics (round, depth, fetched,
-    admitted, targets). Oracle: the pure-Python BSP crawler — enforced
-    by tests/test_crawl_golden.py rather than SQL."""
+    admitted, targets). Oracle: literal golden VALUES derived from the
+    pure-Python BSP crawler (engine parity also enforced by
+    tests/test_crawl_golden.py)."""
     from .config import default_config
     from .plans.crawl import SparkCrawler
 

@@ -290,6 +290,10 @@ class OracleCrawler:
                     if adm is None:
                         m.deduped += 1
                         continue
+                    # the redirect target consumed a seen-set slot:
+                    # count it as admitted, same as the engine's
+                    # seen-delta-cardinality semantics
+                    m.admitted += 1
                     if adm.route == R_FRONTIER:
                         depth = 0 if adm.peek_start else row.depth
                         new_rows.append(
