@@ -42,6 +42,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# URL corpus synthesized deterministically from the part table --------------
+
+_URL_CASES_SQL = """
+    'http://h' || CAST(p_partkey % 40 AS VARCHAR) || '.test' ||
+    CASE CAST(p_partkey % 6 AS INTEGER)
+      WHEN 0 THEN '/p/doc' || CAST(p_partkey AS VARCHAR) || '.html'
+      WHEN 1 THEN '/img/pic' || CAST(p_partkey AS VARCHAR) || '.png'
+      WHEN 2 THEN '/a/track' || CAST(p_partkey AS VARCHAR) || '.mp3'
+      WHEN 3 THEN '/d/item' || CAST(p_partkey AS VARCHAR)
+      WHEN 4 THEN '/s/sub' || CAST(p_partkey AS VARCHAR) || '/'
+      ELSE '/q/view.php?id=' || CAST(p_partkey AS VARCHAR)
+    END
+"""
+
+
 # ---------------------------------------------------------------------------
 # Crawl-relational operators (SURVEY.md §2.2/§2.4/§2.5) over TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -49,55 +64,97 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @_register(
     "f8_seen_antijoin",
-    """
-    SELECT c_custkey FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    f"""
+    WITH corpus AS (SELECT p_partkey, {_URL_CASES_SQL} AS url FROM part)
+    SELECT p_partkey, url FROM corpus WHERE p_partkey % 3 <> 0
     """,
 )
 def f8_seen_antijoin(spark, sf_dir):
-    """F8 dedup shape: the left-anti join against a 'seen' set."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey"
+    """F8 seen-dedup through the REAL engine path: BloomSeenFilter
+    update + split (operators/seen.py) then the exact anti-join, the
+    same prefilter+join the crawl round runs (plans/crawl.py). URLs
+    with p_partkey % 3 == 0 are 'seen'; the other two thirds must
+    come out the other side — a bloom false-negative or a broken
+    probe changes the row set."""
+    from .operators.seen import BloomSeenFilter
+
+    corpus = _url_corpus(spark, sf_dir).withColumn(
+        "key_hash", F.xxhash64("url")
     )
+    seen = corpus.filter(F.col("p_partkey") % 3 == 0).select(
+        "url", "key_hash"
+    )
+    bloom = BloomSeenFilter(spark, n_buckets=8, m_bits=1 << 16, k=4)
+    bloom.update(seen)
+    definitely_new, maybe = bloom.split(corpus)
+    checked = maybe.join(seen.select("url"), "url", "left_anti")
+    return definitely_new.unionByName(checked).select("p_partkey", "url")
 
 
 @_register(
     "q6_pending_semijoin",
     """
-    SELECT c_custkey, c_name FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    SELECT o_orderkey,
+           CAST(o_orderkey % 4 AS INTEGER) AS depth,
+           'h' || CAST(o_custkey AS VARCHAR) AS host
+    FROM orders
+    WHERE o_orderkey % 4 = (SELECT min(o_orderkey % 4) FROM orders)
     """,
 )
 def q6_pending_semijoin(spark, sf_dir):
-    """Q6 pending-host adoption shape: left-semi join."""
-    c = _t(spark, sf_dir, "customer")
+    """Q1/Q6 round selection through the REAL engine function
+    (plans/crawl.py split_wave): the BSP wave is the min-depth slice
+    of the frontier — ue.c's depth-ordered ue_next analog. The
+    frontier is synthesized from orders (depth = o_orderkey % 4)."""
+    from .plans.crawl import split_wave
+
     o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
+    frontier = o.select(
+        F.col("o_orderkey"),
+        (F.col("o_orderkey") % 4).cast("int").alias("depth"),
+        F.concat(F.lit("h"), F.col("o_custkey").cast("string")).alias(
+            "host"
+        ),
     )
+    n, d, elig, rest = split_wave(frontier)
+    return elig.select("o_orderkey", "depth", "host")
 
 
 @_register(
     "q10_politeness_window",
     """
-    SELECT user_id, event_id, rn FROM (
-      SELECT user_id, event_id,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
+    SELECT host, seen_key FROM (
+      SELECT 'h' || CAST(user_id AS VARCHAR) AS host,
+             'e' || CAST(event_id AS VARCHAR) AS seen_key,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY event_id % 3, event_id % 7, event_id) AS rn
       FROM events) WHERE rn <= 5
     """,
 )
 def q10_politeness_window(spark, sf_dir):
-    """Q10 per-host politeness budget: row_number window, top-B."""
+    """Q10 per-host politeness budget through the REAL engine
+    function (plans/crawl.py politeness_split) on its salted two-phase
+    skew path (salt_k=4): the B smallest rows by the crawl sort key
+    (ft_rank, parent_round, parent_ord, sibling_ix) fetch; the result
+    must equal the exact unsalted per-host window."""
+    from .plans.crawl import politeness_split
+
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("user_id", "event_id", "rn")
+    frontier = e.select(
+        F.concat(F.lit("h"), F.col("user_id").cast("string")).alias(
+            "host"
+        ),
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias(
+            "seen_key"
+        ),
+        (F.col("event_id") % 3).cast("int").alias("ft_rank"),
+        (F.col("event_id") % 7).cast("int").alias("parent_round"),
+        F.col("event_id").cast("long").alias("parent_ord"),
+        F.lit(0).alias("sibling_ix"),
     )
+    selected, deferred = politeness_split(frontier, budget=5, salt_k=4)
+    return selected.select("host", "seen_key")
 
 
 @_register(
@@ -128,34 +185,38 @@ def q8_priority_topk(spark, sf_dir):
     "q12_metrics_agg",
     """
     SELECT event_type, count(*) AS n_events,
-           round(sum(value), 2) AS total_value,
-           count(DISTINCT user_id) AS n_users
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
     FROM events GROUP BY event_type
     """,
 )
 def q12_metrics_agg(spark, sf_dir):
-    """Q12 per-filetype session counters: hash aggregation."""
+    """Q12 session metrics through the REAL snapshot store
+    (sources/tables.py): per-round metric deltas are appended to a
+    SnapshotTable (atomic manifest commits + lineage) and the final
+    counters aggregate over read_until — the same write/read path the
+    crawl's metrics/seen/frontier tables use. A broken append,
+    manifest, or time-travel read changes the totals."""
+    import tempfile
+
+    from .sources.tables import SnapshotStore
+
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-        F.countDistinct("user_id").alias("n_users"),
+    store = SnapshotStore(tempfile.mkdtemp(prefix="q12_store_"))
+    for r in range(4):
+        delta = (
+            e.filter(F.col("event_id") % 4 == r)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("event_id").alias("sum_event_id"),
+            )
+        )
+        store.table("metrics").append(delta, r, collect_lineage=True)
+    merged = store.table("metrics").read_until(spark)
+    return merged.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_event_id").alias("sum_event_id"),
     )
-
-
-# URL corpus synthesized deterministically from the part table --------------
-
-_URL_CASES_SQL = """
-    'http://h' || CAST(p_partkey % 40 AS VARCHAR) || '.test' ||
-    CASE CAST(p_partkey % 6 AS INTEGER)
-      WHEN 0 THEN '/p/doc' || CAST(p_partkey AS VARCHAR) || '.html'
-      WHEN 1 THEN '/img/pic' || CAST(p_partkey AS VARCHAR) || '.png'
-      WHEN 2 THEN '/a/track' || CAST(p_partkey AS VARCHAR) || '.mp3'
-      WHEN 3 THEN '/d/item' || CAST(p_partkey AS VARCHAR)
-      WHEN 4 THEN '/s/sub' || CAST(p_partkey AS VARCHAR) || '/'
-      ELSE '/q/view.php?id=' || CAST(p_partkey AS VARCHAR)
-    END
-"""
 
 
 def _url_corpus(spark, sf_dir):

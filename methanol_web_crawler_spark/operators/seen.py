@@ -21,7 +21,7 @@ is preserved); false negatives are impossible for inserted keys.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import pandas as pd
@@ -134,47 +134,47 @@ class BloomSeenFilter:
     def split(
         self, candidates: DataFrame, hash_col: str = "key_hash"
     ) -> Tuple[DataFrame, DataFrame]:
-        """(definitely_new, maybe_seen). Joins candidates with their
-        bucket's bitmap (bucket-keyed shuffle) and tests membership in
-        a vectorized pandas stage."""
+        """(definitely_new, maybe_seen). Cogroups candidates with their
+        bucket's bitmap (the same shape as ``update``): one bitmap per
+        task, NOT one bitmap copy per candidate row — a bitmap-join
+        would push rows x m_bits/8 duplicated bytes through every Arrow
+        batch (128 KiB x 10k rows ~ 1.2 GB per batch)."""
         m_bits, k = self.m_bits, self.k
-        with_bucket = candidates.withColumn(
-            "__bucket", self._bucket_col(F.col(hash_col))
-        )
-        joined = with_bucket.join(
-            F.broadcast(self.state.withColumnRenamed("bucket", "__bucket")),
-            "__bucket",
-            "left",
-        )
-
         out_fields = [f.name for f in candidates.schema.fields]
         result_schema = T.StructType(
             candidates.schema.fields
             + [T.StructField("__maybe", T.BooleanType())]
         )
+        with_bucket = candidates.withColumn(
+            "__bucket", self._bucket_col(F.col(hash_col))
+        )
 
-        def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                maybe = np.zeros(len(pdf), dtype=bool)
-                buckets = pdf["__bucket"].to_numpy()
-                bitmaps = pdf["bitmap"].values
-                for b in np.unique(buckets):
-                    idx = np.nonzero(buckets == b)[0]
-                    bm = bitmaps[idx[0]]
-                    if bm is None:
-                        continue  # no bitmap yet -> definitely new
-                    bitmap = np.frombuffer(bytes(bm), dtype=np.uint8)
-                    pos = _positions(
-                        pdf[hash_col].to_numpy()[idx], m_bits, k
-                    )
-                    maybe[idx] = _test_bits(bitmap, pos)
-                out = pdf[out_fields].copy()
-                out["__maybe"] = maybe
-                yield out
+        def probe(
+            cand_pdf: pd.DataFrame, state_pdf: pd.DataFrame
+        ) -> pd.DataFrame:
+            out = cand_pdf[out_fields].copy()
+            if len(cand_pdf) == 0:
+                out["__maybe"] = pd.Series([], dtype=bool)
+                return out
+            bm = (
+                state_pdf["bitmap"].iloc[0] if len(state_pdf) else None
+            )
+            if bm is None:
+                out["__maybe"] = False  # no bitmap yet -> definitely new
+                return out
+            bitmap = np.frombuffer(bytes(bm), dtype=np.uint8)
+            pos = _positions(cand_pdf[hash_col].to_numpy(), m_bits, k)
+            out["__maybe"] = _test_bits(bitmap, pos)
+            return out
 
-        probed = joined.mapInPandas(probe, result_schema)
+        probed = (
+            with_bucket.groupBy("__bucket")
+            .cogroup(
+                self.state.withColumnRenamed("bucket", "__bucket")
+                .groupBy("__bucket")
+            )
+            .applyInPandas(probe, result_schema)
+        )
         return (
             probed.filter(~F.col("__maybe")).drop("__maybe"),
             probed.filter(F.col("__maybe")).drop("__maybe"),

@@ -89,6 +89,63 @@ SEEN_SCHEMA = "seen_key string, key_hash long, first_round int"
 _SORT_COLS = ["ft_rank", "parent_round", "parent_ord", "sibling_ix"]
 
 
+def politeness_split(
+    elig: DataFrame, budget: int, salt_k: int = 0
+) -> Tuple[DataFrame, DataFrame]:
+    """Per-host token bucket (Q10, metha.c:71-79 budget analog): the B
+    smallest rows by sort key per host fetch this round, the rest defer
+    with their key intact. With salt_k > 1, a two-phase window handles
+    hot-host skew: per-(host, salt) top-B first (parallel over salts),
+    then the exact per-host top-B over the <= salt_k*B survivors — the
+    result is identical to the unsalted window by construction."""
+    if not budget:
+        return elig, elig.limit(0)
+    w = Window.partitionBy("host").orderBy(*_SORT_COLS)
+    if salt_k > 1:
+        w1 = Window.partitionBy("host", "salt").orderBy(*_SORT_COLS)
+        pre = (
+            elig.withColumn(
+                "salt", F.pmod(F.xxhash64("seen_key"), F.lit(salt_k))
+            )
+            .withColumn("rn1", F.row_number().over(w1))
+            .filter(F.col("rn1") <= budget)
+            .drop("rn1", "salt")
+        )
+        sel = (
+            pre.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= budget)
+            .drop("rn")
+        )
+        deferred = elig.join(
+            sel.select("seen_key"), "seen_key", "left_anti"
+        )
+        return sel, deferred
+    ranked = elig.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rn") <= budget).drop("rn"),
+        ranked.filter(F.col("rn") > budget).drop("rn"),
+    )
+
+
+def split_wave(pending: DataFrame) -> Tuple[int, int, DataFrame, DataFrame]:
+    """Q1 ue_next round selection: one driver agg for (count, min
+    depth), then the BSP wave is the min-depth slice of the frontier
+    (ue.c's depth-ordered next_url analog). Returns
+    (n_pending, depth, elig, rest)."""
+    agg = pending.agg(
+        F.count("*").alias("n"), F.min("depth").alias("d")
+    ).first()
+    n_pending, d = agg["n"], agg["d"]
+    if not n_pending:
+        return 0, -1, pending.limit(0), pending.limit(0)
+    return (
+        n_pending,
+        d,
+        pending.filter(F.col("depth") == d),
+        pending.filter(F.col("depth") != d),
+    )
+
+
 @dataclass
 class CrawlStats:
     rounds: int = 0
@@ -220,38 +277,7 @@ class SparkCrawler:
     # -- politeness -----------------------------------------------------
 
     def _politeness_split(self, elig: DataFrame) -> Tuple[DataFrame, DataFrame]:
-        """Per-host token bucket: the B smallest rows by sort key per
-        host fetch this round, the rest defer with their key intact
-        (Q10). With salt_k > 0, a two-phase window handles hot-host
-        skew: per-(host,salt) top-B first (parallel over salts), then
-        the exact per-host top-B over the ≤ salt_k*B survivors."""
-        if not self.budget:
-            return elig, elig.limit(0)
-        w = Window.partitionBy("host").orderBy(*_SORT_COLS)
-        if self.salt_k > 1:
-            w1 = Window.partitionBy("host", "salt").orderBy(*_SORT_COLS)
-            pre = (
-                elig.withColumn(
-                    "salt", F.pmod(F.xxhash64("seen_key"), F.lit(self.salt_k))
-                )
-                .withColumn("rn1", F.row_number().over(w1))
-                .filter(F.col("rn1") <= self.budget)
-                .drop("rn1", "salt")
-            )
-            sel = (
-                pre.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= self.budget)
-                .drop("rn")
-            )
-            deferred = elig.join(
-                sel.select("seen_key"), "seen_key", "left_anti"
-            )
-            return sel, deferred
-        ranked = elig.withColumn("rn", F.row_number().over(w))
-        return (
-            ranked.filter(F.col("rn") <= self.budget).drop("rn"),
-            ranked.filter(F.col("rn") > self.budget).drop("rn"),
-        )
+        return politeness_split(elig, self.budget, self.salt_k)
 
     # -- robots / jail ----------------------------------------------------
 
@@ -443,10 +469,7 @@ class SparkCrawler:
 
         r = start_round
         while r < self.max_rounds:
-            agg = pending.agg(
-                F.count("*").alias("n"), F.min("depth").alias("d")
-            ).first()
-            n_pending, d = agg["n"], agg["d"]
+            n_pending, d, elig, rest = split_wave(pending)
             if n_pending == 0:
                 if parked is None or parked.isEmpty():
                     break
@@ -463,9 +486,6 @@ class SparkCrawler:
                         r, collect_lineage=False,
                     )
                 continue
-
-            elig = pending.filter(F.col("depth") == d)
-            rest = pending.filter(F.col("depth") != d)
 
             selected, deferred = self._politeness_split(elig)
             selected = selected.persist()
