@@ -29,6 +29,7 @@ row-at-a-time Python UDFs.
 
 from __future__ import annotations
 
+import re
 from typing import NamedTuple, Optional, Tuple
 
 PROTOCOLS = ("http", "https", "ftp", "ftps", "file")
@@ -209,6 +210,31 @@ def _encodecpy(
     return bytes(out), file_o, ext_o, is_dyn
 
 
+# -- vectorization fast path -------------------------------------------------
+#
+# The scalar byte state machine below is exact but slow (~55% of crawl
+# round time went through it, PLANS.md). The overwhelmingly common case
+# — printable-ASCII URL, no '?'/'#', no '//' '/.' './' sequences, no
+# port — canonicalizes to ITSELF, so its offsets can be computed with
+# C-speed str/regex ops. Inputs outside that shape fall through to the
+# exact state machine; equivalence on the fast set is enforced by the
+# differential fuzz tests in tests/test_fastpath_diff.py plus the
+# hand-derived unit vectors.
+
+_SIMPLE_ABS_RE = re.compile(
+    r"(?i:(https?|ftps?|file))://([A-Za-z0-9.\-]{1,255})"
+    r"(/[\x21-\x7f]*)?\Z"
+)
+# any of these in the path region forces the slow path: '//' collapse,
+# '/.'-family pops/quirks, './' skip quirk, query ('?'), fragment ('#')
+_PATH_UNSAFE_RE = re.compile(r"//|/\.|\./|[?#]")
+_SIMPLE_REL_RE = re.compile(r"[\x21-\x7f]+\Z")
+
+
+def _www_of(host: str) -> bool:
+    return len(host) > 4 and host[:4].lower() == "www."
+
+
 def parse_url(raw: str) -> Optional[ParsedUrl]:
     """Canonicalize an absolute URL string (``lm_url_set`` semantics).
 
@@ -217,6 +243,26 @@ def parse_url(raw: str) -> Optional[ParsedUrl]:
     """
     if not raw:
         return None
+    m = _SIMPLE_ABS_RE.match(raw)
+    if m is not None and len(raw) <= MAX_URL_LEN:
+        path = m.group(3)
+        host_o = m.start(2)
+        host_l = m.end(2) - host_o
+        host = m.group(2)
+        if path is None:
+            return ParsedUrl(
+                raw + "/", host_o, host_l, len(raw), 0,
+                m.group(1).lower(), False, _www_of(host),
+            )
+        if _PATH_UNSAFE_RE.search(path) is None:
+            root = host_o + host_l
+            fr = path.rfind("/")
+            er = path.rfind(".")
+            return ParsedUrl(
+                raw, host_o, host_l, root + fr,
+                root + er if er > fr else 0,
+                m.group(1).lower(), False, _www_of(host),
+            )
     b = raw.encode("utf-8", "surrogateescape")
     if len(b) > MAX_URL_LEN:
         return None
@@ -284,6 +330,28 @@ def combine_url(base: ParsedUrl, href: str) -> Optional[ParsedUrl]:
     otherwise it is appended after the last '/' of base. The DYNAMIC
     flag is cleared; www flag inherited.
     """
+    if (
+        href
+        and href[0] != "."
+        and _SIMPLE_REL_RE.match(href) is not None
+        and _PATH_UNSAFE_RE.search(href) is None
+    ):
+        if href[0] == "/":
+            cut = base.host_o + base.host_l
+        else:
+            cut = base.file_o + 1
+        prefix = base.url[:cut]
+        if len(prefix) + len(href) <= MAX_URL_LEN and prefix.isascii():
+            fr = href.rfind("/")
+            er = href.rfind(".")
+            file_o = base.file_o if fr < 0 else cut + fr
+            if href[0] == "/":
+                file_o = cut + fr
+            return ParsedUrl(
+                prefix + href, base.host_o, base.host_l, file_o,
+                cut + er if er > fr else 0,
+                base.protocol, False, base.www_prefix,
+            )
     hb = href.encode("utf-8", "surrogateescape")
     base_b = base.url.encode("latin-1")
     if hb[:1] == b"/":

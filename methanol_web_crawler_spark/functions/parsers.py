@@ -134,6 +134,36 @@ def _next_attr(tag: str, pos: int) -> Optional[Tuple[str, str, int]]:
     return None
 
 
+# -- fast path ---------------------------------------------------------------
+#
+# The per-char tag scanner below is exact but Python-slow; the common
+# tag shapes — closing tags, comments, and open tags whose attributes
+# are all double-quoted well-formed `name="value"` pairs — resolve with
+# one compiled-regex match at C speed. Anything else (single quotes,
+# unquoted values, bare attrs before href, '<' or '>' inside values,
+# special/html-prefixed tags) falls through to the exact scanner.
+# Equivalence on the fast set is enforced by the differential fuzz in
+# tests/test_fastpath_diff.py plus the hand-derived unit vectors.
+
+_AWS = r"[ \t\r\n\f\v]"  # the scanner's _WS, NOT regex \s (no unicode)
+_HS = r"(?:[Hh][Rr][Ee][Ff]|[Ss][Rr][Cc])"
+_NAME = r"[^ \t\r\n\f\v<>\"'=]+"
+_QVAL = r'"[^"<>]*"'
+
+# closing tags and comments with no '=' / quotes: nothing to extract
+_FAST_SKIP = re.compile(r"[!/][^<>\"'=]*>")
+# open tag: quoted attrs, at most one href/src (the first), quoted attrs
+# or bare attrs after it
+_FAST_TAG = re.compile(
+    rf"[A-Za-z][^ \t\r\n\f\v<>\"'=]*"
+    rf"(?:{_AWS}+(?!{_HS}{_AWS}*=){_NAME}{_AWS}*={_AWS}*{_QVAL})*"
+    rf"(?:{_AWS}+{_HS}{_AWS}*={_AWS}*\"([^\"<>]*)\")?"
+    rf"(?:{_AWS}+(?!{_HS}{_AWS}*=){_NAME}(?:{_AWS}*={_AWS}*{_QVAL})?)*"
+    rf"{_AWS}*/?>"
+)
+_SPECIAL_PREFIXES = ("script", "style", "textarea", "html")
+
+
 def extract_html_links(body: str) -> List[str]:
     """Ordered raw hrefs from an HTML document (``lm_parser_html``)."""
     links: List[str] = []
@@ -145,6 +175,26 @@ def extract_html_links(body: str) -> List[str]:
         lt = body.find("<", p)
         if lt < 0:
             break
+        m = _FAST_SKIP.match(body, lt + 1)
+        if m is not None:
+            p = m.end()
+            continue
+        m = _FAST_TAG.match(body, lt + 1)
+        if m is not None and not body_low.startswith(
+            _SPECIAL_PREFIXES, lt + 1
+        ):
+            val = m.group(1)
+            if val:
+                if val[0] == "[" and curies:
+                    pass  # CURIE resolution: exact scanner below
+                else:
+                    if val[0] != "#":
+                        links.append(val)
+                    p = m.end()
+                    continue
+            else:
+                p = m.end()
+                continue
         tb, te = _find_tag_end(body, lt)
         if te < 0:
             break

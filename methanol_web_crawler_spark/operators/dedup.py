@@ -80,6 +80,7 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str,
     k: int = MINHASH_K, bands: int = LSH_BANDS, m: int = MINHASH_M,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs: documents sharing any LSH band.
 
@@ -87,7 +88,15 @@ def minhash_lsh_pairs(
     is the tuple of its signature values; a self-join per band emits
     pairs, deduplicated across bands. The band self-join partitions by
     the bucket key — the scale-defining shuffle.
-    """
+
+    ``max_bucket_size`` bounds the skew bomb: a bucket with n docs
+    emits O(n^2) pairs, and a duplicate-heavy corpus concentrates
+    thousands of docs in one bucket. Buckets above the cap are dropped
+    whole (deterministically — mirrored in the SQL oracle); such
+    mega-clusters are exact-dup territory and far cheaper to collapse
+    with dedup_exact than to enumerate pairwise. 0 disables."""
+    from pyspark.sql import Window
+
     rows = k // bands
     sig = minhash_signatures(df, id_col, text_col, k, m)
     band_frames: List[DataFrame] = []
@@ -104,6 +113,15 @@ def minhash_lsh_pairs(
     banded = band_frames[0]
     for f in band_frames[1:]:
         banded = banded.unionByName(f)
+    if max_bucket_size:
+        # same shuffle key as the self-join below, so the window's
+        # exchange is reused rather than added
+        wb = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bn", F.count("*").over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -149,13 +167,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str,
     mod_a: int = 7, mod_b: int = 5, threshold: float = 0.3,
+    max_token_df: int = 1000,
 ) -> DataFrame:
     """Token-set Jaccard similarity over a deterministic pair sample
     (ids ≡0 mod a × ids ≡0 mod b). Returns pairs ≥ threshold with the
     similarity as a rounded double (exact under an unnest+join SQL
     oracle).
-    """
+
+    ``max_token_df`` drops tokens whose document frequency exceeds the
+    cap BEFORE the token join — a stopword appearing in every document
+    turns the join quadratic in corpus size; dropping it barely moves
+    Jaccard (it intersects everything) but removes the hot key.
+    NOTE: the cap changes n_a/n_b (set sizes count surviving tokens),
+    so it is mirrored exactly in the SQL oracle. 0 disables."""
+    from pyspark.sql import Window
+
     tok = tokens(df, id_col, text_col)
+    if max_token_df:
+        wt = Window.partitionBy("token")
+        tok = (
+            tok.withColumn("__df", F.count("*").over(wt))
+            .filter(F.col("__df") <= max_token_df)
+            .drop("__df")
+        )
     sizes = tok.groupBy("doc").agg(F.count("*").alias("n"))
     ta = (
         tok.join(sizes, "doc")
@@ -234,18 +268,74 @@ def embedding_cosine_pairs(
     ).limit(top_n)
 
 
+def embedding_cosine_pairs_lsh(
+    df: DataFrame, id_col: str, vec_col: str,
+    threshold: float = 0.3, n_planes: int = 6, dim: int = 64,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Embedding near-dup, the SCALE path: random-hyperplane LSH
+    buckets first, exact cosine only within a bucket. The self-join
+    keys on the sign-bucket — a bucket-partitioned shuffle instead of
+    the O(N^2) cartesian of ``embedding_cosine_pairs`` (which stays
+    registered only as the exact small-scale baseline). Same
+    deterministic hyperplanes as similarity.lsh_topk, so the DuckDB
+    oracle embeds them as full-precision literals."""
+    from pyspark.sql import Window
+
+    from .similarity import _dot, _norm, hyperplanes, lsh_bucket
+
+    planes = hyperplanes(dim, n_planes)
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .withColumn("norm", _norm(F.col("vec")))
+        .withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+    )
+    if max_bucket_size:
+        wb = Window.partitionBy("bucket")
+        base = (
+            base.withColumn("__bn", F.count("*").over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.norm") * F.col("b.norm")),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
     max_iter: int = 20,
 ) -> DataFrame:
     """Near-dup clusters: connected components over a pair list via
-    iterative min-label propagation (the alternating small-star /
-    large-star shape — each iteration is one join + aggregate, the
-    scalable way to cluster 10^9 LSH candidate pairs; no driver-side
-    graph).
+    iterative min-label propagation — each iteration is one join +
+    aggregate, the scalable way to cluster 10^9 LSH candidate pairs;
+    no driver-side graph.
 
     Returns (doc, component) where component is the minimum doc id
-    reachable. Converges in O(log n) iterations on typical dedup
+    reachable. Plain min-label propagation converges in O(graph
+    diameter) iterations — effectively constant for dedup clusters
+    (near-cliques); corpora with long chain topologies would want the
+    alternating small-star/large-star variant instead. Converges
+    within ``max_iter`` on typical dedup
     graphs; ``max_iter`` bounds pathological chains.
     """
     from pyspark.sql import functions as F

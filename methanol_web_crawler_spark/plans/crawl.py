@@ -580,10 +580,13 @@ class SparkCrawler:
                     F.lit(r).alias("round"),
                 )
                 if self.store:
-                    self.store.table("attr_targets").append(
-                        attr_targets, r, collect_lineage=False
+                    # one job: the append's lineage read-back counts the
+                    # written rows from the (small) snapshot parquet —
+                    # never recompute the fetch pipeline just to count
+                    entry = self.store.table("attr_targets").append(
+                        attr_targets, r, collect_lineage=True
                     )
-                    n_targets_attr = attr_targets.count()
+                    n_targets_attr = entry.get("rows", 0)
 
             # parse + canonicalize + classify ----------------------------
             candidates = fetched.mapInPandas(resolver, CANDIDATE_SCHEMA)
