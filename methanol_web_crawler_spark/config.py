@@ -173,6 +173,62 @@ def default_config(**crawler_overrides) -> CrawlConfig:
     return cfg
 
 
+def _extend_html(cfg_fn_doc_name, parsers, attributes, **crawler_overrides):
+    """Shared shape of conf/title.conf & conf/meta.conf:
+
+        include "default.conf"
+        extend: filetype["html"] { parser = "xmlconv, misc.js/<fn>"; }
+
+    The ``extend`` directive keeps default.conf's html filetype and
+    overrides its parser chain (methanol.texinfo:700-730). The
+    reference's misc.js parsers print to stdout; a distributed engine
+    has no per-document stdout, so the analogs route the extracted
+    values through DECLARED attributes instead (the engine's target
+    data path, methanol.texinfo:148-154) — hence the attributes
+    declaration the .conf files themselves don't need."""
+    cfg = default_config(**crawler_overrides)
+    fts = tuple(
+        Filetype(
+            name=f.name,
+            extensions=f.extensions,
+            mimetypes=f.mimetypes,
+            expr=f.expr,
+            parsers=parsers,
+            handler=f.handler,
+            attributes=attributes,
+            switch_to=f.switch_to,
+            ignore_host=f.ignore_host,
+        )
+        if f.name == "html"
+        else f
+        for f in cfg.filetypes
+    )
+    cfg = CrawlConfig(filetypes=fts, crawlers=cfg.crawlers)
+    cfg.validate()
+    return cfg
+
+
+def title_config(**crawler_overrides) -> CrawlConfig:
+    """conf/title.conf analog: html pages re-parsed through
+    xmlconv -> misc.js/title; each fetched page emits a target with
+    its <title> as the declared "title" attribute."""
+    return _extend_html(
+        "title", ("xmlconv", "misc.js/title"), ("title",),
+        **crawler_overrides,
+    )
+
+
+def meta_config(**crawler_overrides) -> CrawlConfig:
+    """conf/meta.conf analog: html pages re-parsed through
+    xmlconv -> misc.js/meta; declared attributes collect <meta>
+    name/content pairs."""
+    return _extend_html(
+        "meta", ("xmlconv", "misc.js/meta"),
+        ("description", "keywords", "author"),
+        **crawler_overrides,
+    )
+
+
 def media_config(**crawler_overrides) -> CrawlConfig:
     """html crawl + image/audio/video target filetypes.
 

@@ -352,7 +352,20 @@ _PARSER_REGISTRY = {}
 
 
 def register_parser(name: str, fn, kind: str = "extract") -> None:
-    assert kind in ("extract", "transform")
+    """Register a parser under ``name``.
+
+    Kinds (P8/P11):
+      - "extract":   fn(text) -> [href, ...]
+      - "transform": fn(text) -> text' (rewrites the buffer for later
+        chain stages, worker.c:836-911)
+      - "attrs":     fn(text) -> ([href, ...], {attr: value, ...}) —
+        the ``this.set_attribute`` analog (js.c:305-330): values are
+        kept only for attribute names DECLARED on the filetype
+        (lm_attrlist_prepare / lm_attribute_set, attr.c:35-60), and a
+        fetched document with any attribute set is emitted as a
+        target (worker.c:913-917 ``attributes.changed``).
+    """
+    assert kind in ("extract", "transform", "attrs")
     _PARSER_REGISTRY[name] = (kind, fn)
 
 
@@ -368,6 +381,50 @@ def entity_decode(text: str) -> str:
     return _htmllib.unescape(text)
 
 
+# -- misc.js analogs (P11) ----------------------------------------------------
+#
+# The reference ships E4X parsers (scripts/misc.js) that run after
+# xmlconv: title() prints the <title> and returns xml..a.@href; meta()
+# prints each <meta> name/content pair and returns xml..a.@href. A
+# distributed engine has no stdout channel per document, so the analogs
+# route the extracted values through the declared-attribute mechanism
+# instead (the reference's own data-out path for parser results,
+# methanol.texinfo:148-154): title sets attribute "title", meta sets
+# one attribute per <meta name>. Both run over the xmlconv'd buffer,
+# where tags/attrs are lowercased and values double-quoted, so the
+# regexes below are exact there.
+
+_ANCHOR_HREF_RE = re.compile(r'<a\s[^>]*?href="([^"]*)"')
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title", re.S)
+_META_RE = re.compile(r'<meta\s[^>]*>', re.S)
+_META_NAME_RE = re.compile(r'name="([^"]*)"')
+_META_CONTENT_RE = re.compile(r'content="([^"]*)"')
+
+
+def extract_anchor_hrefs(text: str) -> List[str]:
+    """The xml..a.@href analog: href attributes of <a> elements only
+    (narrower than the html parser's any-tag href/src)."""
+    return _ANCHOR_HREF_RE.findall(text)
+
+
+def title_attrs(text: str):
+    """scripts/misc.js:34-41 ``title()`` analog (see section note)."""
+    m = _TITLE_RE.search(text)
+    attrs = {"title": m.group(1)} if m else {}
+    return extract_anchor_hrefs(text), attrs
+
+
+def meta_attrs(text: str):
+    """scripts/misc.js:20-31 ``meta()`` analog (see section note)."""
+    attrs = {}
+    for tag in _META_RE.findall(text):
+        nm = _META_NAME_RE.search(tag)
+        cm = _META_CONTENT_RE.search(tag)
+        if nm and cm:
+            attrs[nm.group(1)] = cm.group(1)
+    return extract_anchor_hrefs(text), attrs
+
+
 def _register_builtins():
     from .ftplist import extract_ftp_links
     from .xmlconv import html_to_xml
@@ -378,6 +435,12 @@ def _register_builtins():
     register_parser("css", extract_css_urls, "extract")
     register_parser("xmlconv", html_to_xml, "transform")
     register_parser("entityconv", entity_decode, "transform")
+    # conf files name user scripts as "<file>/<function>"; register the
+    # misc.js analogs under both the conf spelling and a short alias
+    register_parser("misc.js/title", title_attrs, "attrs")
+    register_parser("misc.js/meta", meta_attrs, "attrs")
+    register_parser("title", title_attrs, "attrs")
+    register_parser("meta", meta_attrs, "attrs")
 
 
 _register_builtins()

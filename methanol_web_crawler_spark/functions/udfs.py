@@ -198,6 +198,63 @@ def make_link_resolver(config: CrawlConfig, default_crawler: str):
     return resolve
 
 
+# attribute-target rows emitted by the attrs extraction stage (P11)
+ATTR_TARGET_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("filetype", T.StringType()),
+        T.StructField(
+            "attributes", T.MapType(T.StringType(), T.StringType())
+        ),
+    ]
+)
+
+
+def make_attr_extractor(config: CrawlConfig):
+    """mapInPandas stage: fetched pages -> attribute-target rows (P11).
+
+    Runs the filetype's parser chain for its "attrs"-kind stages
+    (js.c:305-330 set_attribute analog) plus the builtin html parser's
+    whole-body 'html' attribute when declared (html.c:179-183); emits
+    one row per document whose attribute list changed
+    (worker.c:913-917)."""
+    from ..operators.admission import run_parser_chain
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                ft = config.filetype(row.filetype)
+                if row.spans is None:
+                    continue
+                spans = [
+                    {
+                        "kind": s["kind"],
+                        "text": s["text"],
+                        "media_ref": s["media_ref"],
+                        "offset": s["offset"],
+                    }
+                    for s in row.spans
+                ]
+                attrs = {}
+                if "html" in ft.attributes and "html" in ft.parsers:
+                    attrs["html"] = "".join(
+                        s["text"] or ""
+                        for s in spans
+                        if s["kind"] == "text"
+                    )
+                attrs.update(
+                    run_parser_chain(spans, ft.parsers, ft.attributes)[1]
+                )
+                if attrs:
+                    out.append([row.url, row.filetype, attrs])
+            yield pd.DataFrame(
+                out, columns=["url", "filetype", "attributes"]
+            )
+
+    return extract
+
+
 def make_head_classifier(config: CrawlConfig, default_crawler: str):
     """Resolve POSSIBLE_MATCH rows by content type (the reference's
     HEAD request, worker.c:567-631) under the row's crawler; finalize

@@ -21,7 +21,7 @@ at sort time (lm_worker_sort + lm_worker_bind_url, worker.c:538-714):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, List, Optional
+from typing import Callable, Dict, List, Optional, Tuple
 
 from ..config import CrawlConfig
 from ..functions.canonicalize import (
@@ -155,7 +155,25 @@ def admit_seed(
     return Admission(parsed, route, name, rank, False)
 
 
-def extract_links_from_spans(spans: List[dict], parsers: tuple) -> List[str]:
+def _declared_attr(name: str, declared: tuple) -> str:
+    """The declared attribute matching a set_attribute name, or ''.
+
+    QUIRK (attr.c:44-47): the declared name matches when it equals the
+    set name OR starts with it followed by whitespace — a filetype
+    declaring "title from-page" accepts set_attribute("title", ...)
+    and reports the value under the full declared name.
+    """
+    for d in declared:
+        if d == name or (
+            d.startswith(name) and d[len(name)] in " \t\r\n\f\v"
+        ):
+            return d
+    return ""
+
+
+def run_parser_chain(
+    spans: List[dict], parsers: tuple, declared_attrs: tuple = ()
+) -> Tuple[List[str], Dict[str, str]]:
     """Run the filetype's parser chain over an interleaved text+media
     span document (BASELINE.json input_hint shape).
 
@@ -164,10 +182,16 @@ def extract_links_from_spans(spans: List[dict], parsers: tuple) -> List[str]:
     their position (the synthetic-web equivalent of src attributes the
     reference's html parser would see). The span *sequence itself* is
     never altered — the per-row span invariant is preserved upstream.
+
+    Returns (links, attributes): "attrs"-kind parsers additionally set
+    named attributes; only names declared on the filetype are kept
+    (attr.c:35-60), keyed by the declared name. A non-empty dict is
+    the ``attributes.changed`` target signal (worker.c:913-917).
     """
     from ..functions.parsers import resolve_parser
 
     links: List[str] = []
+    attrs: Dict[str, str] = {}
     for span in spans:
         kind = span["kind"] if isinstance(span, dict) else span.kind
         text = span["text"] if isinstance(span, dict) else span.text
@@ -187,6 +211,18 @@ def extract_links_from_spans(spans: List[dict], parsers: tuple) -> List[str]:
             pkind, fn = entry
             if pkind == "transform":
                 text = fn(text)
+            elif pkind == "attrs":
+                ls, at = fn(text)
+                links.extend(ls)
+                for k, v in at.items():
+                    dk = _declared_attr(k, declared_attrs)
+                    if dk:
+                        attrs[dk] = v
             else:
                 links.extend(fn(text))
-    return links
+    return links, attrs
+
+
+def extract_links_from_spans(spans: List[dict], parsers: tuple) -> List[str]:
+    """Links-only view of ``run_parser_chain`` (the admission path)."""
+    return run_parser_chain(spans, parsers)[0]

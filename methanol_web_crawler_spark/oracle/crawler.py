@@ -41,7 +41,7 @@ from ..operators.admission import (
     R_TARGET,
     admit_link,
     admit_seed,
-    extract_links_from_spans,
+    run_parser_chain,
 )
 from ..sources.synthweb import SynthDoc
 
@@ -325,12 +325,13 @@ class OracleCrawler:
                 ft = row_ft
                 if not ft.parsers:
                     continue
-                links = extract_links_from_spans(
+                links, set_attrs = run_parser_chain(
                     [
                         {"kind": k, "text": t, "media_ref": mr, "offset": o}
                         for (k, t, mr, o) in doc.spans
                     ],
                     ft.parsers,
+                    ft.attributes,
                 )
                 for six, href in enumerate(links):
                     adm = admit_link(
@@ -379,13 +380,20 @@ class OracleCrawler:
                                 adm.is_external, eff_name, child_peek)
                         )
 
-                # attribute emission (P11): the html parser sets the
-                # 'html' attribute when declared (html.c:181-183)
+                # attribute emission (P11): the builtin html parser
+                # sets the whole-body 'html' attribute when declared
+                # (html.c:179-183); "attrs"-kind parsers set named
+                # attributes (js.c:305-330). One target per fetched
+                # doc when any attribute changed (worker.c:913-917).
+                doc_attrs = {}
                 if "html" in ft.attributes and "html" in ft.parsers:
+                    doc_attrs["html"] = self._body_of(doc)
+                doc_attrs.update(set_attrs)
+                if doc_attrs:
                     targets.append(
                         Target(
                             row.parsed.url, row.filetype,
-                            {"html": self._body_of(doc)}, round_no,
+                            doc_attrs, round_no,
                         )
                     )
                     m.targets += 1

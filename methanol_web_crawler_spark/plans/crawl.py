@@ -41,8 +41,10 @@ from pyspark.sql import types as T
 from ..config import CrawlConfig
 from ..functions.classify import FtIndex
 from ..functions.udfs import (
+    ATTR_TARGET_SCHEMA,
     CANDIDATE_SCHEMA,
     ROBOTS_RULES_TYPE,
+    make_attr_extractor,
     make_head_classifier,
     make_link_resolver,
     make_robots_parser,
@@ -187,6 +189,27 @@ class SparkCrawler:
         self.max_rounds = max_rounds
         self.robots_enabled = any(c.robotstxt for c in config.crawlers)
         self.jail_crawlers = [c.name for c in config.crawlers if c.jail]
+        # P11 attribute emission: which filetypes go through which path
+        from ..functions.parsers import resolve_parser
+
+        def _has_attrs_parser(ft) -> bool:
+            return any(
+                (resolve_parser(p) or ("", None))[0] == "attrs"
+                for p in ft.parsers
+            )
+
+        self.attr_fts_py = [
+            f.name
+            for f in self.idx.ft_list
+            if f.attributes and _has_attrs_parser(f)
+        ]
+        self.attr_fts_html = [
+            f.name
+            for f in self.idx.ft_list
+            if "html" in f.attributes
+            and "html" in f.parsers
+            and f.name not in self.attr_fts_py
+        ]
         # static plan pruning: HEAD (POSSIBLE_MATCH) rows can only
         # exist when some crawler has a "lookup" binding — otherwise
         # the whole content-type resolution stage is dropped
@@ -553,32 +576,51 @@ class SparkCrawler:
                     fetched.select(*log_cols), r, collect_lineage=False
                 )
 
-            # attribute targets (P11): html attribute when declared ------
-            attr_fts = [
-                f.name
-                for f in self.idx.ft_list
-                if "html" in f.attributes and "html" in f.parsers
-            ]
+            # attribute targets (P11) -------------------------------------
+            # Two paths, both emitting (url, filetype, attributes map):
+            # - JVM expression for filetypes whose ONLY attribute is the
+            #   builtin html whole-body one (html.c:179-183) — no Python;
+            # - the attrs-parser mapInPandas stage for filetypes whose
+            #   chain sets named attributes (js.c set_attribute analog).
             n_targets_attr = 0
-            if attr_fts:
+            not_redirect = F.col("spans").isNotNull() & ~(
+                (F.col("status") >= 300) & (F.col("status") < 400)
+                & F.col("location").isNotNull()
+            )
+            attr_frames = []
+            if self.attr_fts_html:
                 body_expr = F.expr(
                     "concat_ws('', transform(filter(spans,"
                     " s -> s.kind = 'text'), s -> coalesce(s.text, '')))"
                 )
-                attr_targets = fetched.filter(
-                    F.col("filetype").isin(attr_fts)
-                    & F.col("spans").isNotNull()
-                    & ~(
-                        (F.col("status") >= 300) & (F.col("status") < 400)
-                        & F.col("location").isNotNull()
+                attr_frames.append(
+                    fetched.filter(
+                        F.col("filetype").isin(self.attr_fts_html)
+                        & not_redirect
+                    ).select(
+                        "url", "filetype",
+                        F.create_map(
+                            F.lit("html"), body_expr
+                        ).alias("attributes"),
                     )
-                ).select(
-                    "url", "filetype",
-                    F.create_map(
-                        F.lit("html"), body_expr
-                    ).alias("attributes"),
-                    F.lit(r).alias("round"),
                 )
+            if self.attr_fts_py:
+                attr_frames.append(
+                    fetched.filter(
+                        F.col("filetype").isin(self.attr_fts_py)
+                        & not_redirect
+                    )
+                    .select("url", "filetype", "spans")
+                    .mapInPandas(
+                        make_attr_extractor(self.config),
+                        ATTR_TARGET_SCHEMA,
+                    )
+                )
+            if attr_frames:
+                attr_targets = attr_frames[0]
+                for fdf in attr_frames[1:]:
+                    attr_targets = attr_targets.unionByName(fdf)
+                attr_targets = attr_targets.withColumn("round", F.lit(r))
                 if self.store:
                     # one job: the append's lineage read-back counts the
                     # written rows from the (small) snapshot parquet —
