@@ -48,7 +48,6 @@ from ..functions.udfs import (
     make_head_classifier,
     make_link_resolver,
     make_robots_parser,
-    robots_gate,
 )
 from ..operators.admission import admit_seed
 from ..operators.seen import BLOOM_SCHEMA, BloomSeenFilter
@@ -233,6 +232,35 @@ class SparkCrawler:
             "doc_id", "spans", "content_type", "status", "location"
         )
         self.docs_ct = docs.select("doc_id", "content_type")
+        # robots side-table: the reference keeps per-host robots state
+        # on the host struct (worker.c:269-283 fetches robots.txt once
+        # per host). At 100 TB robots bodies are a tiny hot table, not
+        # rows interleaved in the corpus — scanning the full docs table
+        # per depth-0 wave to find them is the wrong plan. Pre-filter +
+        # pre-parse ONCE (n_hosts rows); every wave then joins this
+        # small cached table. parse_robots is pure and per-host, so
+        # parsing at bootstrap instead of per-wave is semantics-
+        # preserving (absent robots parse to the same allow-all as a
+        # NULL rules array).
+        self.robots_cache = None
+        if self.robots_enabled:
+            robots_parse = F.pandas_udf(
+                make_robots_parser(self.config.user_agent),
+                ROBOTS_RULES_TYPE,
+            )
+            body_expr = F.expr(
+                "concat_ws('', transform(filter(spans,"
+                " s -> s.kind = 'text'), s -> coalesce(s.text, '')))"
+            )
+            self.robots_cache = (
+                self.docs.filter(F.col("doc_id").endswith("/robots.txt"))
+                .select(
+                    F.col("doc_id").alias("robots_url"),
+                    robots_parse(body_expr).alias("rules"),
+                )
+                .persist()
+            )
+            self.robots_cache.count()  # bootstrap the cache eagerly
 
     # -- seed admission (driver-side; seeds are tiny) -------------------
 
@@ -317,26 +345,14 @@ class SparkCrawler:
             .distinct()
             .join(hosts.select("host"), "host", "left_anti")
         )
-        robots_parse = F.pandas_udf(
-            make_robots_parser(self.config.user_agent), ROBOTS_RULES_TYPE
-        )
-        body_expr = F.expr(
-            "concat_ws('', transform(filter(spans, s -> s.kind = 'text'),"
-            " s -> coalesce(s.text, '')))"
-        )
         fetched = (
             new_hosts.join(
-                self.docs.select(
-                    "doc_id", body_expr.alias("robots_body")
-                ),
+                self.robots_cache,
                 F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
-                == F.col("doc_id"),
+                == F.col("robots_url"),
                 "left",
             )
-            .select(
-                "host",
-                robots_parse(F.col("robots_body")).alias("rules"),
-            )
+            .select("host", "rules")
         )
         return hosts.unionByName(fetched)
 
@@ -488,7 +504,6 @@ class SparkCrawler:
 
         head_classify = make_head_classifier(self.config, self.crawler_name)
         resolver = make_link_resolver(self.config, self.crawler_name)
-        gate_udf = F.pandas_udf(robots_gate, T.BooleanType())
 
         r = start_round
         while r < self.max_rounds:
@@ -538,12 +553,22 @@ class SparkCrawler:
                     | dir_region.startswith(F.col("jail_prefix"))
                 ).drop("jail_prefix")
             if self.robots_enabled:
-                path_expr = F.expr("substring(url, host_o + host_l + 1)")
+                # first path-prefix match wins, default allow
+                # (filter.c:34-54) — a pure JVM higher-order expression,
+                # no Python in the gate (NULL/empty rules coalesce to
+                # allow, matching parse_robots of an absent body)
                 gated = (
                     gated.join(hosts, "host", "left")
                     .withColumn(
                         "robots_ok",
-                        gate_udf(F.col("rules"), path_expr),
+                        F.coalesce(
+                            F.expr(
+                                "get(filter(rules, r -> startswith("
+                                "substring(url, host_o + host_l + 1),"
+                                " r.prefix)), 0).allow"
+                            ),
+                            F.lit(True),
+                        ),
                     )
                     .filter(F.col("robots_ok"))
                     .drop("rules", "robots_ok")
