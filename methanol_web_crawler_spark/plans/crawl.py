@@ -526,7 +526,12 @@ class SparkCrawler:
                 continue
 
             selected, deferred = self._politeness_split(elig)
-            selected = selected.persist()
+            if self.budget:
+                # the politeness window reshuffles — cache it for the
+                # hosts-update + fetch consumers
+                selected = selected.persist()
+            # with no budget, selected IS the (already cached) wave —
+            # an extra persist would copy the whole frontier per round
 
             if self.robots_enabled and d == 0:
                 # new hosts only enter at depth 0 (worker.c:269-283)
@@ -799,8 +804,12 @@ class SparkCrawler:
                     seen = new_seen.localCheckpoint()
                 else:
                     seen = new_seen.persist()
-            if parked is not None:
-                # truncate the parked union chain as well
+            if parked is not None and r % 4 == 3:
+                # truncate the parked union chain on a cadence: each
+                # delta already descends from the checkpointed
+                # ``admitted``, so between truncations the plan is a
+                # flat union of materialized scans — a per-round
+                # full rewrite (O(total parked) driver job) is waste
                 parked = parked.localCheckpoint()
 
             # cheap now: fetched/admitted are cached by the checkpoint
@@ -856,7 +865,8 @@ class SparkCrawler:
                 )
 
             fetched.unpersist()
-            selected.unpersist()
+            if self.budget:
+                selected.unpersist()
             admitted.unpersist()
             r += 1
             stats.rounds = r
