@@ -65,6 +65,7 @@ class Crawler:
     spread_workers: bool = False
     initial_filetype: Optional[str] = None
     default_handler: Optional[str] = None
+    init: Optional[str] = None  # S2 init fn name (crawler.h init)
     # URL-binding fallbacks; "lookup" is the reference default
     dynamic_url: str = LOOKUP
     extless_url: str = LOOKUP
@@ -227,6 +228,26 @@ def meta_config(**crawler_overrides) -> CrawlConfig:
         ("description", "keywords", "author"),
         **crawler_overrides,
     )
+
+
+def writefile_config(**crawler_overrides) -> CrawlConfig:
+    """html crawl whose html filetype binds the S9 writefile handler:
+    every fetched page is saved under a dedup-suffixed basename and
+    the parser chain receives the FILENAME (builtin.c:63-133)."""
+    base = default_config(**crawler_overrides)
+    fts = tuple(
+        Filetype(
+            name=f.name, extensions=f.extensions,
+            mimetypes=f.mimetypes, expr=f.expr, parsers=f.parsers,
+            handler="writefile" if f.name == "html" else f.handler,
+            attributes=f.attributes, switch_to=f.switch_to,
+            ignore_host=f.ignore_host,
+        )
+        for f in base.filetypes
+    )
+    cfg = CrawlConfig(filetypes=fts, crawlers=base.crawlers)
+    cfg.validate()
+    return cfg
 
 
 def media_config(**crawler_overrides) -> CrawlConfig:

@@ -488,6 +488,7 @@ class ConfLoader:
                 spread_workers=b.spread_workers,
                 initial_filetype=b.initial_filetype,
                 default_handler=b.default_handler,
+                init=b.init,
                 dynamic_url=b.dynamic_url or LOOKUP,
                 extless_url=b.extless_url or LOOKUP,
                 dir_url=b.dir_url or LOOKUP,

@@ -374,6 +374,89 @@ def resolve_parser(name: str):
     return _PARSER_REGISTRY.get(name)
 
 
+# -- crawler init functions (S2) ---------------------------------------------
+#
+# The reference's crawler ``init`` option names a JS function called
+# once before crawling with the command-line extra arguments; it
+# returns the seed URL list (metha.c crawler_t.init; methabot passes
+# its trailing args). scripts/google.js:7-15 and
+# scripts/wikipedia.js:1-8 compose search URLs from query terms.
+# Python-native registry, same naming scheme as parsers.
+
+_INIT_REGISTRY = {}
+
+
+def register_init(name: str, fn) -> None:
+    """Register a crawler init function: fn(args) -> [seed_url, ...]"""
+    _INIT_REGISTRY[name] = fn
+
+
+def resolve_init(name: str):
+    return _INIT_REGISTRY.get(name)
+
+
+def google_search_init(q):
+    """scripts/google.js:7-15: each arg becomes a search URL."""
+    return [
+        f"http://www.google.com/search?q={x}&start=0" for x in q
+    ]
+
+
+def wikipedia_search_init(q):
+    """scripts/wikipedia.js:1-8."""
+    return [
+        f"http://en.wikipedia.org/w/index.php?search={x}"
+        "&fulltext=Advanced+search"
+        for x in q
+    ]
+
+
+_A_TAG_RE = re.compile(r"<a\s[^>]*>")
+_CLASS_RE = re.compile(r'class="([^"]*)"')
+_HREF_RE = re.compile(r'href="([^"]*)"')
+_TITLE_ATTR_RE = re.compile(r'title="([^"]*)"')
+_UL_RE = re.compile(r"<ul\s[^>]*>.*?</ul", re.S)
+
+
+def google_result_links(text: str):
+    """scripts/google.js:17-29 ``parser()``: hrefs of <a> elements
+    whose class is exactly "l" (E4X ``url.@class == "l"``). Runs over
+    the xmlconv'd buffer (lowercased tags, double-quoted attrs)."""
+    out = []
+    for tag in _A_TAG_RE.findall(text):
+        cm = _CLASS_RE.search(tag)
+        if cm and cm.group(1) == "l":
+            hm = _HREF_RE.search(tag)
+            if hm:
+                out.append(hm.group(1))
+    return out
+
+
+def wikipedia_results(text: str):
+    """scripts/wikipedia.js:10-24 ``parser()``: for each
+    <ul class="mw-search-results"> item, the reference prints
+    ``<title>: http://en.wikipedia.org<href>`` and returns null (no
+    links). A distributed engine has no per-document stdout, so the
+    printed lines are routed through the declared attribute
+    ``results`` instead (the same print->attribute mapping as the
+    misc.js analogs)."""
+    lines = []
+    for ul in _UL_RE.findall(text):
+        head = ul[: ul.find(">") + 1]
+        cm = _CLASS_RE.search(head)
+        if not cm or cm.group(1) != "mw-search-results":
+            continue
+        for tag in _A_TAG_RE.findall(ul):
+            tm = _TITLE_ATTR_RE.search(tag)
+            hm = _HREF_RE.search(tag)
+            if tm and hm:
+                lines.append(
+                    f"{tm.group(1)}: http://en.wikipedia.org"
+                    f"{hm.group(1)}"
+                )
+    return [], ({"results": "\n".join(lines)} if lines else {})
+
+
 def entity_decode(text: str) -> str:
     """entityconv (P7): SGML/HTML entities -> unicode text
     (entityconv.c's ~250-entity table, expressed via the stdlib's
@@ -441,6 +524,13 @@ def _register_builtins():
     register_parser("misc.js/meta", meta_attrs, "attrs")
     register_parser("title", title_attrs, "attrs")
     register_parser("meta", meta_attrs, "attrs")
+    # shipped JS script analogs (S2 init fns + result parsers)
+    register_parser("google.js/parser", google_result_links, "extract")
+    register_parser("wikipedia.js/parser", wikipedia_results, "attrs")
+    register_init("google.js/google_search_init", google_search_init)
+    register_init(
+        "wikipedia.js/wikipedia_search_init", wikipedia_search_init
+    )
 
 
 _register_builtins()

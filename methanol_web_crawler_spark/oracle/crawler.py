@@ -98,11 +98,23 @@ class RoundMetrics:
 
 
 @dataclass
+class FileRecord:
+    """S9 writefile sink row (builtin.c:63-133)."""
+
+    url: str
+    filetype: str
+    filename: str
+    body: str
+    round: int
+
+
+@dataclass
 class CrawlResult:
     seen: Set[str]
     rounds: List[List[FetchRecord]]
     targets: List[Target]
     metrics: List[RoundMetrics]
+    files: List[FileRecord] = field(default_factory=list)
 
     @property
     def fetched_urls(self) -> List[str]:
@@ -117,6 +129,7 @@ class OracleCrawler:
         crawler: str = "default",
         politeness_budget: int = 0,
         max_rounds: int = 10_000,
+        serial_transfers: bool = False,
     ):
         self.doc_map = doc_map
         self.config = config
@@ -125,6 +138,10 @@ class OracleCrawler:
         self.indexes = {c.name: FtIndex(config, c) for c in config.crawlers}
         self.budget = politeness_budget
         self.max_rounds = max_rounds
+        # friendly/coward single-synchronous-worker consequence
+        # (metha.c:71-79, 957-961): exactly one transfer at a time in
+        # fully deterministic global sort order
+        self.serial = serial_transfers
         self.robots_enabled = any(c.robotstxt for c in config.crawlers)
 
     # -- environment lookups ------------------------------------------
@@ -136,9 +153,41 @@ class OracleCrawler:
     def _body_of(self, doc: SynthDoc) -> str:
         return "".join(t or "" for (k, t, m, o) in doc.spans if k == "text")
 
+    def _writefile_name(self, p) -> str:
+        """The writefile basename + stat()-dedup suffix
+        (builtin.c:77-117): last path segment query-stripped,
+        ``index.html`` for directory URLs; ``ext_o`` points AT the
+        dot (url.c:402) so the extension keeps it; the Nth collision
+        becomes ``<stem>-<N><ext>``."""
+        url = p.url
+        if p.file_o + 1 == len(url):
+            stem, ext = "index", ".html"
+        else:
+            rest = url[p.file_o + 1:]
+            q = rest.find("?")
+            rest_noq = rest[:q] if q >= 0 else rest
+            if p.ext_o:
+                stem = url[p.file_o + 1:p.ext_o]
+                er = url[p.ext_o:]
+                q2 = er.find("?")
+                ext = er[:q2] if q2 >= 0 else er
+            else:
+                stem, ext = rest_noq, ""
+        base = stem + ext
+        n = self._name_counts.get(base, 0)
+        self._name_counts[base] = n + 1
+        return base if n == 0 else f"{stem}-{n}{ext}"
+
     # -- main loop -----------------------------------------------------
 
     def run(self, seeds: List[str]) -> CrawlResult:
+        # S2 init fn: raw args -> seed URLs (mirrors SparkCrawler.run)
+        if self.crawler.init:
+            from ..functions.parsers import resolve_init
+
+            init_fn = resolve_init(self.crawler.init)
+            if init_fn is not None:
+                seeds = list(init_fn(seeds))
         seen: Set[str] = set()
 
         def tryadd(key: str) -> bool:
@@ -154,6 +203,8 @@ class OracleCrawler:
         targets: List[Target] = []
         rounds: List[List[FetchRecord]] = []
         metrics: List[RoundMetrics] = []
+        files: List[FileRecord] = []
+        self._name_counts: Dict[str, int] = {}
         seq = 0
         round_no = 0
 
@@ -195,14 +246,19 @@ class OracleCrawler:
             m = RoundMetrics(round=round_no, depth=d)
             selected: List[Row] = []
             deferred: List[Row] = []
-            per_host: Dict[str, int] = {}
-            for r in eligible:
-                h = r.parsed.host_identity
-                if self.budget and per_host.get(h, 0) >= self.budget:
-                    deferred.append(r)
-                else:
-                    per_host[h] = per_host.get(h, 0) + 1
-                    selected.append(r)
+            if self.serial:
+                # one synchronous transfer per round (friendly/coward)
+                selected = eligible[:1]
+                deferred = eligible[1:]
+            else:
+                per_host: Dict[str, int] = {}
+                for r in eligible:
+                    h = r.parsed.host_identity
+                    if self.budget and per_host.get(h, 0) >= self.budget:
+                        deferred.append(r)
+                    else:
+                        per_host[h] = per_host.get(h, 0) + 1
+                        selected.append(r)
             m.deferred = len(deferred)
 
             this_round: List[FetchRecord] = []
@@ -325,11 +381,29 @@ class OracleCrawler:
                 ft = row_ft
                 if not ft.parsers:
                     continue
+                spans_in = [
+                    {"kind": k, "text": t, "media_ref": mr, "offset": o}
+                    for (k, t, mr, o) in doc.spans
+                ]
+                buf_body = None  # the parse buffer, when swapped
+                if ft.handler == "writefile":
+                    # S9: save under a dedup-suffixed basename and
+                    # swap the parse buffer to the FILENAME
+                    # (builtin.c:63-133, h->buf swap at 123-126)
+                    fname = self._writefile_name(row.parsed)
+                    files.append(
+                        FileRecord(
+                            row.parsed.url, row.filetype, fname,
+                            self._body_of(doc), round_no,
+                        )
+                    )
+                    spans_in = [
+                        {"kind": "text", "text": fname,
+                         "media_ref": None, "offset": 0}
+                    ]
+                    buf_body = fname
                 links, set_attrs = run_parser_chain(
-                    [
-                        {"kind": k, "text": t, "media_ref": mr, "offset": o}
-                        for (k, t, mr, o) in doc.spans
-                    ],
+                    spans_in,
                     ft.parsers,
                     ft.attributes,
                 )
@@ -387,7 +461,12 @@ class OracleCrawler:
                 # doc when any attribute changed (worker.c:913-917).
                 doc_attrs = {}
                 if "html" in ft.attributes and "html" in ft.parsers:
-                    doc_attrs["html"] = self._body_of(doc)
+                    # the attribute reads the parse BUFFER — for
+                    # writefile rows that is the swapped-in filename
+                    doc_attrs["html"] = (
+                        buf_body if buf_body is not None
+                        else self._body_of(doc)
+                    )
                 doc_attrs.update(set_attrs)
                 if doc_attrs:
                     targets.append(
@@ -404,5 +483,6 @@ class OracleCrawler:
             round_no += 1
 
         return CrawlResult(
-            seen=seen, rounds=rounds, targets=targets, metrics=metrics
+            seen=seen, rounds=rounds, targets=targets, metrics=metrics,
+            files=files,
         )

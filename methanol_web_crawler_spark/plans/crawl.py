@@ -128,6 +128,22 @@ def politeness_split(
     )
 
 
+def robots_gate_expr() -> "F.Column":
+    """F5 allow/deny as a pure JVM higher-order expression over the
+    per-host ``rules`` array: first path-prefix match wins, default
+    allow (filter.c:34-54). NULL/empty rules coalesce to allow —
+    identical to parse_robots of an absent body. get() (not [0])
+    because ANSI mode throws on indexing an empty filter result."""
+    return F.coalesce(
+        F.expr(
+            "get(filter(rules, r -> startswith("
+            "substring(url, host_o + host_l + 1),"
+            " r.prefix)), 0).allow"
+        ),
+        F.lit(True),
+    )
+
+
 def split_wave(pending: DataFrame) -> Tuple[int, int, DataFrame, DataFrame]:
     """Q1 ue_next round selection: one driver agg for (count, min
     depth), then the BSP wave is the min-depth slice of the frontier
@@ -174,6 +190,7 @@ class SparkCrawler:
         max_rounds: int = 10_000,
         bloom_buckets: int = 0,
         bloom_bits: int = 1 << 20,
+        serial_transfers: bool = False,
     ):
         self.spark = spark
         self.config = config
@@ -181,6 +198,13 @@ class SparkCrawler:
         self.crawler = config.crawler(crawler)
         self.idx = FtIndex(config, self.crawler)
         self.budget = politeness_budget
+        # friendly/coward single-synchronous-worker consequence
+        # (metha.c:71-79, 957-961): the inter-transfer waits force ONE
+        # worker, so the global fetch order is fully deterministic.
+        # The timing itself is meaningless in a batch engine; the
+        # ORDER is the observable — one transfer per BSP round, chosen
+        # by the global sort key. A parity mode, not a scale path.
+        self.serial = serial_transfers
         self.strict_order = strict_order
         self.salt_k = salt_k
         self.collect_metrics = collect_metrics
@@ -218,6 +242,19 @@ class SparkCrawler:
             for b in (c.dynamic_url, c.extless_url, c.dir_url,
                       c.unknown_url)
         )
+        # S9 writefile sink: a parser+handler filetype fetches through
+        # the handler (worker.c:765-771), which saves the body under a
+        # dedup-suffixed basename and hands the FILENAME to the parser
+        # chain (builtin.c:63-133). Handler-ONLY filetypes never fetch
+        # (the FT_FLAG_HAS_HANDLER quirk, worker.c:676) — routing
+        # already treats them as targets. Statically pruned: the extra
+        # naming window/join exists only when some filetype binds the
+        # writefile handler.
+        self.writefile_fts = [
+            f.name
+            for f in self.idx.ft_list
+            if f.handler == "writefile" and f.parsers
+        ]
         self.store = SnapshotStore(state_dir) if state_dir else None
         self.bloom = (
             BloomSeenFilter(spark, n_buckets=bloom_buckets,
@@ -252,15 +289,19 @@ class SparkCrawler:
                 "concat_ws('', transform(filter(spans,"
                 " s -> s.kind = 'text'), s -> coalesce(s.text, '')))"
             )
+            # localCheckpoint (not persist): the checkpointed frame's
+            # plan IS the materialized blocks, so every later join
+            # reads them directly — cache-fragment substitution does
+            # not reliably kick in under a join for python-UDF
+            # lineage, and the parse must never re-run in-round
             self.robots_cache = (
                 self.docs.filter(F.col("doc_id").endswith("/robots.txt"))
                 .select(
                     F.col("doc_id").alias("robots_url"),
                     robots_parse(body_expr).alias("rules"),
                 )
-                .persist()
+                .localCheckpoint()
             )
-            self.robots_cache.count()  # bootstrap the cache eagerly
 
     # -- seed admission (driver-side; seeds are tiny) -------------------
 
@@ -356,6 +397,133 @@ class SparkCrawler:
         )
         return hosts.unionByName(fetched)
 
+    # -- S9 writefile handler -------------------------------------------
+
+    def _writefile_stage(
+        self, fetched: DataFrame, names: DataFrame, round_no: int
+    ) -> Tuple[DataFrame, DataFrame]:
+        """The writefile handler (builtin.c:63-133) as a sink stage.
+
+        For fetched rows of a parser+handler filetype:
+        - derive the download basename from the URL: the last path
+          segment query-stripped; a directory URL becomes
+          ``index.html`` (builtin.c:97-103); ``ext_o`` points AT the
+          dot (url.c:402) so the extension keeps its dot;
+        - the reference's stat()-loop dedup (builtin.c:112-117)
+          becomes a per-base row_number over fetch order plus the
+          CUMULATIVE per-base count carried across rounds: the Nth
+          collision is named ``<stem>-<N><ext>``;
+        - the body is appended to the ``files`` table and the PARSE
+          BUFFER becomes the filename (h->buf swap, builtin.c:123-126)
+          — the parser chain then sees the name, not the body.
+
+        Returns (parse_input, new_names_state).
+        """
+        spark = self.spark
+        wf = fetched.filter(
+            F.col("filetype").isin(self.writefile_fts)
+            & F.col("spans").isNotNull()
+            & ~(
+                (F.col("status") >= 300) & (F.col("status") < 400)
+                & F.col("location").isNotNull()
+            )
+        )
+        is_dir = (F.col("file_o") + F.lit(1)) == F.length("url")
+        rest = F.expr("substring(url, file_o + 2)")
+        rest_noq = F.when(
+            F.instr(rest, "?") > 0,
+            F.expr("left(substring(url, file_o + 2),"
+                   " instr(substring(url, file_o + 2), '?') - 1)"),
+        ).otherwise(rest)
+        ext_raw = F.expr("substring(url, ext_o + 1)")
+        ext = F.when(is_dir, F.lit(".html")).when(
+            F.col("ext_o") > 0,
+            F.when(
+                F.instr(ext_raw, "?") > 0,
+                F.expr("left(substring(url, ext_o + 1),"
+                       " instr(substring(url, ext_o + 1), '?') - 1)"),
+            ).otherwise(ext_raw),
+        ).otherwise(F.lit(""))
+        stem = F.when(is_dir, F.lit("index")).when(
+            F.col("ext_o") > 0,
+            F.expr("substring(url, file_o + 2, ext_o - file_o - 1)"),
+        ).otherwise(rest_noq)
+        body = F.expr(
+            "concat_ws('', transform(filter(spans,"
+            " s -> s.kind = 'text'), s -> coalesce(s.text, '')))"
+        )
+        wfb = wf.select(
+            "url", "filetype", "fetch_ord",
+            stem.alias("stem"), ext.alias("ext"), body.alias("body"),
+        ).withColumn("base", F.concat("stem", "ext"))
+
+        wn = Window.partitionBy("base").orderBy("fetch_ord")
+        named = (
+            wfb.withColumn("rn", F.row_number().over(wn))
+            .join(names, "base", "left")
+            .withColumn(
+                "prior", F.coalesce(F.col("cnt"), F.lit(0))
+                + F.col("rn") - F.lit(1)
+            )
+            .withColumn(
+                "filename",
+                F.when(F.col("prior") == 0, F.col("base")).otherwise(
+                    F.concat(
+                        "stem", F.lit("-"),
+                        F.col("prior").cast("string"), "ext",
+                    )
+                ),
+            )
+        )
+        if self.store:
+            self.store.table("files").append(
+                named.select(
+                    "url", "filetype", "filename", "body",
+                    F.lit(round_no).alias("round"),
+                ),
+                round_no, collect_lineage=True,
+            )
+
+        new_counts = wfb.groupBy("base").agg(
+            F.count("*").alias("add")
+        )
+        names = (
+            names.join(new_counts, "base", "full_outer")
+            .select(
+                "base",
+                (F.coalesce(F.col("cnt"), F.lit(0))
+                 + F.coalesce(F.col("add"), F.lit(0))).alias("cnt"),
+            )
+            .localCheckpoint()
+        )
+        if self.store:
+            self.store.table("names_state").append(
+                names, round_no + 1, collect_lineage=False
+            )
+
+        # h->buf swap: downstream parse/attr stages see the filename
+        filename_span = F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("filename").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        )
+        parse_input = (
+            fetched.join(
+                named.select("url", "filename"), "url", "left"
+            )
+            .withColumn(
+                "spans",
+                F.when(
+                    F.col("filename").isNotNull(), filename_span
+                ).otherwise(F.col("spans")),
+            )
+            .drop("filename")
+        )
+        return parse_input, names
+
     def _jail_prefixes(self, selected: DataFrame) -> DataFrame:
         dir_region = F.expr(
             "lower(substring(url, host_o + host_l + 1,"
@@ -385,7 +553,19 @@ class SparkCrawler:
         )
 
     def run(self, seeds: List[str]) -> CrawlStats:
-        """Fresh crawl from a seed list."""
+        """Fresh crawl from a seed list.
+
+        When the crawler binds an ``init`` function (S2), it runs once
+        here over the raw args and returns the actual seed URLs (the
+        reference calls it with methabot's trailing command-line
+        arguments — e.g. google.js composes search URLs from query
+        terms)."""
+        from ..functions.parsers import resolve_init
+
+        if self.crawler.init:
+            init_fn = resolve_init(self.crawler.init)
+            if init_fn is not None:
+                seeds = list(init_fn(seeds))
         spark = self.spark
         stats = CrawlStats()
         pending, seen, seed_targets = self._admit_seeds(seeds)
@@ -505,6 +685,20 @@ class SparkCrawler:
         head_classify = make_head_classifier(self.config, self.crawler_name)
         resolver = make_link_resolver(self.config, self.crawler_name)
 
+        # S9 writefile naming state (cumulative per-base counts); on
+        # resume the latest snapshot restores exact dedup numbering
+        names = None
+        if self.writefile_fts:
+            if self.store:
+                names = self.store.table("names_state").read_latest(
+                    spark
+                )
+            if names is None:
+                names = spark.createDataFrame(
+                    [], "base string, cnt long"
+                )
+            names = names.localCheckpoint()
+
         r = start_round
         while r < self.max_rounds:
             n_pending, d, elig, rest = split_wave(pending)
@@ -525,7 +719,15 @@ class SparkCrawler:
                     )
                 continue
 
-            selected, deferred = self._politeness_split(elig)
+            if self.serial:
+                wser = Window.orderBy(*_SORT_COLS)
+                ranked = elig.withColumn(
+                    "rn", F.row_number().over(wser)
+                )
+                selected = ranked.filter(F.col("rn") == 1).drop("rn")
+                deferred = ranked.filter(F.col("rn") > 1).drop("rn")
+            else:
+                selected, deferred = self._politeness_split(elig)
             if self.budget:
                 # the politeness window reshuffles — cache it for the
                 # hosts-update + fetch consumers
@@ -564,17 +766,7 @@ class SparkCrawler:
                 # allow, matching parse_robots of an absent body)
                 gated = (
                     gated.join(hosts, "host", "left")
-                    .withColumn(
-                        "robots_ok",
-                        F.coalesce(
-                            F.expr(
-                                "get(filter(rules, r -> startswith("
-                                "substring(url, host_o + host_l + 1),"
-                                " r.prefix)), 0).allow"
-                            ),
-                            F.lit(True),
-                        ),
-                    )
+                    .withColumn("robots_ok", robots_gate_expr())
                     .filter(F.col("robots_ok"))
                     .drop("rules", "robots_ok")
                 )
@@ -606,6 +798,14 @@ class SparkCrawler:
                     fetched.select(*log_cols), r, collect_lineage=False
                 )
 
+            # S9 writefile: sink + parse-buffer swap --------------------
+            if self.writefile_fts:
+                parse_input, names = self._writefile_stage(
+                    fetched, names, r
+                )
+            else:
+                parse_input = fetched
+
             # attribute targets (P11) -------------------------------------
             # Two paths, both emitting (url, filetype, attributes map):
             # - JVM expression for filetypes whose ONLY attribute is the
@@ -624,7 +824,7 @@ class SparkCrawler:
                     " s -> s.kind = 'text'), s -> coalesce(s.text, '')))"
                 )
                 attr_frames.append(
-                    fetched.filter(
+                    parse_input.filter(
                         F.col("filetype").isin(self.attr_fts_html)
                         & not_redirect
                     ).select(
@@ -636,7 +836,7 @@ class SparkCrawler:
                 )
             if self.attr_fts_py:
                 attr_frames.append(
-                    fetched.filter(
+                    parse_input.filter(
                         F.col("filetype").isin(self.attr_fts_py)
                         & not_redirect
                     )
@@ -661,7 +861,9 @@ class SparkCrawler:
                     n_targets_attr = entry.get("rows", 0)
 
             # parse + canonicalize + classify ----------------------------
-            candidates = fetched.mapInPandas(resolver, CANDIDATE_SCHEMA)
+            candidates = parse_input.mapInPandas(
+                resolver, CANDIDATE_SCHEMA
+            )
 
             # in-batch dedup: first admission in fetch order wins --------
             wd = Window.partitionBy("seen_key").orderBy(
