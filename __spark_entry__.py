@@ -36,8 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """Equivalent DuckDB SQL per query; entries absent here
-    (crawl_flagship, ann_lsh_topk) are iterative / approximate
-    pipelines checked by the rows-only path + the golden oracle tests
-    in tests/test_crawl_golden.py."""
+    """Equivalent DuckDB SQL per query — every query has an oracle:
+    deterministic crawls (crawl_flagship, crawl_writefile) use
+    literal golden VALUES derived from the pure-Python oracle,
+    ann_lsh_topk reproduces its sin-hyperplane buckets in SQL."""
     return dict(entryqueries.ORACLES)

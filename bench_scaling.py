@@ -249,9 +249,35 @@ def register_bucketed_docs(spark, docs_path: str):
     return spark.table("docs_bucketed")
 
 
+def host_probe() -> dict:
+    """Single-thread CPU + single-stream copy calibration, run right
+    before each level: this sandbox VM's capacity varies with time
+    (sustained-load throttling / noisy neighbors — measured 1.9x CPU
+    and 5.5x copy slowdowns within one afternoon), so every recorded
+    level carries the host state it ran under."""
+    import numpy as np
+
+    t0 = time.time()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i % 7
+    cpu_s = time.time() - t0
+    arr = np.empty(100_000_000, dtype=np.uint8)
+    arr[:] = 7
+    t0 = time.time()
+    for _ in range(10):
+        b = arr.copy()
+        arr[0] = b[0]
+    copy_s = time.time() - t0
+    return {"probe_cpu_s": round(cpu_s, 3),
+            "probe_copy_s": round(copy_s, 3)}
+
+
 def run_at(cpus: int, docs_path: str, frontier_path: str) -> dict:
     from methanol_web_crawler_spark.config import default_config
     from methanol_web_crawler_spark.plans.crawl import SparkCrawler
+
+    probe = host_probe()
 
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -279,6 +305,7 @@ def run_at(cpus: int, docs_path: str, frontier_path: str) -> dict:
             "urls_per_sec": round(
                 (stats.fetched + stats.seen) / wall, 1
             ),
+            **probe,
         }
     finally:
         spark.stop()
@@ -331,6 +358,15 @@ def main():
                 f"| {r['urls_fetched']} | {r['urls_seen']} "
                 f"| {r['urls_per_sec']} |\n"
             )
+        f.write(
+            "\nhost-capacity probes before each level "
+            "(single-thread CPU / single-stream copy): "
+            + ", ".join(
+                f"{r['cpus']}c: {r['probe_cpu_s']}s/{r['probe_copy_s']}s"
+                for r in results
+            )
+            + "\n"
+        )
         f.write(
             f"\nscaling efficiency (tput@{LEVELS[1]} / "
             f"tput@{LEVELS[0]}) / 4 = **{eff:.3f}** — "
