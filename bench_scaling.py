@@ -42,11 +42,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # total cores per level; executors = cores / EXECUTOR_CORES
 LEVELS = (2, 8)
+# --bloom: run the mega-round with the frontier-sized bloom seen-filter
+# enabled (and, with metrics, record the anti-join input reduction)
+_ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+BLOOM = "--bloom" in sys.argv
+# --bloom-diag: ONE metric-collecting 8-core round instead of the
+# two-level timed pair — records bloom_definitely_new / bloom_maybe
+BLOOM_DIAG = "--bloom-diag" in sys.argv
 # Defaults ARE the committed recipe (BENCH/BASELINE.md): the
 # 24M-doc / 24k-host / every-3rd-URL mega-round.
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000_000
-N_HOSTS = int(sys.argv[2]) if len(sys.argv) > 2 else 24_000
-FRONTIER_EVERY = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+N_DOCS = int(_ARGS[0]) if len(_ARGS) > 0 else 24_000_000
+N_HOSTS = int(_ARGS[1]) if len(_ARGS) > 1 else 24_000
+FRONTIER_EVERY = int(_ARGS[2]) if len(_ARGS) > 2 else 3
 DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
 
@@ -273,7 +280,8 @@ def host_probe() -> dict:
             "probe_copy_s": round(copy_s, 3)}
 
 
-def run_at(cpus: int, docs_path: str, frontier_path: str) -> dict:
+def run_at(cpus: int, docs_path: str, frontier_path: str,
+           collect_metrics: bool = False) -> dict:
     from methanol_web_crawler_spark.config import default_config
     from methanol_web_crawler_spark.plans.crawl import SparkCrawler
 
@@ -290,13 +298,21 @@ def run_at(cpus: int, docs_path: str, frontier_path: str) -> dict:
         cfg = default_config(robotstxt=True)
         crawler = SparkCrawler(
             spark, docs, cfg, politeness_budget=0,
-            strict_order=False, collect_metrics=False, max_rounds=1,
+            strict_order=False, collect_metrics=collect_metrics,
+            max_rounds=1,
+            # frontier-sized bloom (~9.6 bits/key at 1% FP): the
+            # expected seen-key population of the mega-round is the
+            # frontier plus its distinct admitted links ~ 3x frontier
+            bloom_buckets=64 if BLOOM or BLOOM_DIAG else 0,
+            bloom_expected_keys=(
+                3 * (N_DOCS // FRONTIER_EVERY)
+                if BLOOM or BLOOM_DIAG else None
+            ),
         )
         t0 = time.time()
         stats = crawler.run_frontier(frontier)
         wall = time.time() - t0
-        processed = stats.fetched + stats.admitted + stats.seen
-        return {
+        out = {
             "cpus": cpus,
             "frontier_rows": int(n_frontier),
             "urls_fetched": stats.fetched,
@@ -305,14 +321,48 @@ def run_at(cpus: int, docs_path: str, frontier_path: str) -> dict:
             "urls_per_sec": round(
                 (stats.fetched + stats.seen) / wall, 1
             ),
+            "bloom": bool(crawler.bloom is not None),
             **probe,
         }
+        if collect_metrics and stats.per_round:
+            r0 = stats.per_round[0]
+            if "bloom_maybe" in r0:
+                out["bloom_definitely_new"] = r0["bloom_definitely_new"]
+                out["bloom_maybe"] = r0["bloom_maybe"]
+        return out
     finally:
         spark.stop()
 
 
 def main():
     docs_path, frontier_path = materialize_inputs()
+    if BLOOM_DIAG:
+        # one metric-collecting round at the 4N level: records the
+        # exact-anti-join probe volume the bloom layer removed
+        r = run_at(LEVELS[1], docs_path, frontier_path,
+                   collect_metrics=True)
+        cand = r.get("bloom_definitely_new", 0) + r.get(
+            "bloom_maybe", 0
+        )
+        r["bloom_reduction"] = round(
+            r.get("bloom_definitely_new", 0) / cand, 4
+        ) if cand else None
+        print(json.dumps({"mode": "bloom-diag", "n_docs": N_DOCS,
+                          "n_hosts": N_HOSTS, **r}))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                f"\n## Bloom seen-filter diagnostic ({N_DOCS} docs, "
+                f"frontier-sized bloom, {LEVELS[1]} cores)\n\n"
+                f"candidates after in-batch dedup: {cand}; "
+                f"bloom rejected (definitely new, skip exact "
+                f"anti-join): {r.get('bloom_definitely_new')}; "
+                f"maybe-seen (probe the exact join): "
+                f"{r.get('bloom_maybe')} -> anti-join input reduced "
+                f"{(r['bloom_reduction'] or 0) * 100:.1f}% "
+                f"(wall {r['wall_sec']} s with metric counts on).\n"
+            )
+        return
     results = [run_at(c, docs_path, frontier_path) for c in LEVELS]
     r_lo, r_hi = results
     eff = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / (
@@ -324,6 +374,7 @@ def main():
         "mode": "steady-state mega-round",
         "n_docs": N_DOCS,
         "n_hosts": N_HOSTS,
+        "bloom": BLOOM,
         "executors": [n_lo, n_hi],
         "executor_cores": EXECUTOR_CORES,
         "levels": results,

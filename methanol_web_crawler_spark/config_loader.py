@@ -129,12 +129,12 @@ class _CrBuilder:
         self.depth_limit = 1
 
     def copy_from(self, src: "_CrBuilder"):
-        # lm_crawler_dup (crawler.c:66-107): depth_limit and
-        # default_handler NOT copied
-        kept_depth = self.depth_limit
+        # lm_crawler_dup (crawler.c:66-107): calls lm_crawler_clear
+        # first — so the DEST's depth_limit resets to 1 (crawler.c:139)
+        # and is never copied from the source; only default_handler
+        # survives the clear (it is not touched by clear or dup)
         kept_handler = self.default_handler
         self.clear()
-        self.depth_limit = kept_depth
         self.default_handler = kept_handler
         self.filetypes = list(src.filetypes)
         self.external = src.external
@@ -297,14 +297,20 @@ class ConfLoader:
                 extend = True
                 override = word == "override"
                 continue
-            # directives (conf.c:389-437)
-            if word in ("include", "load_module"):
+            # directives — PREFIX match like classes (conf.c:392-393
+            # strncmp over the TOKEN length: "inc" matches "include")
+            directive = next(
+                (d for d in ("include", "load_module")
+                 if d.startswith(word)),
+                None,
+            )
+            if directive is not None:
                 pos = skip_ws_comments(m.end())
                 if pos >= n or buf[pos] != '"':
                     err(f"expected a quoted argument for directive"
                         f" '{word}'", pos)
                 arg, pos = read_string(pos + 1)
-                if word == "include":
+                if directive == "include":
                     self.load_file(arg)
                 else:
                     self.modules.append(arg)

@@ -82,6 +82,18 @@ def build_indexes(config: CrawlConfig) -> Dict[str, FtIndex]:
 def make_link_resolver(config: CrawlConfig, default_crawler: str):
     """mapInPandas stage: fetched pages -> candidate link rows.
 
+    Delegates to the whole-column vectorized implementation
+    (resolve_vec.py) — pandas/numpy column ops with an exact scalar
+    residue, no ``itertuples`` in the hot path. The scalar twin below
+    remains as the differential-test reference."""
+    from .resolve_vec import make_link_resolver_vec
+
+    return make_link_resolver_vec(config, default_crawler)
+
+
+def make_link_resolver_scalar(config: CrawlConfig, default_crawler: str):
+    """Row-at-a-time reference resolver (the semantics spec).
+
     Input rows carry the parent's parsed-URL fields, filetype, depth,
     crawler, peek flag, (fetch_round, fetch_ord), redirect_count,
     external flag, plus the joined document columns (spans, status,

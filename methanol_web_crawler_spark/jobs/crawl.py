@@ -1,8 +1,14 @@
 """spark-submit entry point for the crawl engine (north rule: "runs
 via spark-submit --py-files on multi-executor clusters").
 
+spark-submit takes a primary application FILE (it has no ``-m`` module
+flag), so cluster runs go through the thin launcher at the repo root,
+with this package shipped as a zip:
+
+    cd /root/repo && zip -qr methanol_web_crawler_spark.zip \
+        methanol_web_crawler_spark
     spark-submit --py-files methanol_web_crawler_spark.zip \
-        -m methanol_web_crawler_spark.jobs.crawl -- \
+        jobs/crawl.py \
         --conf conf/default.conf --docs /data/docs.parquet \
         --state-dir /data/crawl-state --seeds http://a.test/ ...
 

@@ -224,13 +224,18 @@ def ngram_jaccard_pairs(
     )
 
 
-def embedding_cosine_pairs(
+def embedding_cosine_pairs_exact(
     df: DataFrame, id_col: str, vec_col: str,
     sample_mod: int = 10, top_n: int = 20,
 ) -> DataFrame:
-    """Embedding near-dup: cosine over a deterministic pair sample,
-    top-N by rounded score. Double-precision math via JVM-side
-    ``aggregate``/``zip_with`` — no Python in the loop."""
+    """Exact cosine over a deterministic pair sample, top-N by rounded
+    score — TEST ORACLE ONLY. The a<b theta-join is a
+    BroadcastNestedLoopJoin by construction (O(N^2/sample_mod)
+    comparisons), so this is never registered as a pipeline entry; the
+    pipeline path is ``embedding_cosine_pairs_lsh`` below, whose
+    recall pytest uses this as the ground truth
+    (tests/test_dedup_skew_caps.py). Double-precision math stays
+    JVM-side via ``aggregate``/``zip_with``."""
     dotv = F.aggregate(
         F.zip_with(
             F.col("a.vec").cast("array<double>"),

@@ -81,6 +81,29 @@ class BloomSeenFilter:
         self.k = k
         self.state: DataFrame = spark.createDataFrame([], BLOOM_SCHEMA)
 
+    @classmethod
+    def sized_for(
+        cls,
+        spark: SparkSession,
+        expected_keys: int,
+        fp_rate: float = 0.01,
+        n_buckets: int = 64,
+    ) -> "BloomSeenFilter":
+        """Size the filter from the EXPECTED FRONTIER, not a constant:
+        per-bucket m = -n/B * ln(p) / ln(2)^2 (~9.6 bits/key at 1%),
+        rounded up to a power of two (cheap modulo, byte-aligned);
+        k = m*B/n * ln(2) (~7 probes at 1%). A static 1 MiB bitmap at
+        a 10^10-key frontier would saturate and approve everything —
+        the filter's value IS its sizing."""
+        import math
+
+        n = max(1, expected_keys)
+        per_bucket = max(1, n // max(1, n_buckets))
+        m_exact = -per_bucket * math.log(fp_rate) / (math.log(2) ** 2)
+        m_bits = 1 << max(13, math.ceil(math.log2(m_exact)))
+        k = max(1, round(m_bits / per_bucket * math.log(2)))
+        return cls(spark, n_buckets=n_buckets, m_bits=m_bits, k=min(k, 16))
+
     # -- helpers ---------------------------------------------------------
 
     def _bucket_col(self, hash_col) -> "F.Column":

@@ -163,6 +163,19 @@ def split_wave(pending: DataFrame) -> Tuple[int, int, DataFrame, DataFrame]:
     )
 
 
+def adopt_parked(parked: DataFrame) -> DataFrame:
+    """Q6 pending-host adoption: when the frontier is exhausted,
+    parked EXTERNAL rows re-enter as a fresh wave at depth 0 with the
+    peek flag cleared (the reference's pending-host hand-off:
+    ue_push_pending/ue_pop_pending, urlengine.c:567,624, popped by an
+    idle worker at worker.c:257,375 — a host parked by an EXTERNAL
+    crawler is adopted as a new crawl root, not resumed at its link
+    depth)."""
+    return parked.withColumn("depth", F.lit(0)).withColumn(
+        "peek", F.lit(False)
+    )
+
+
 @dataclass
 class CrawlStats:
     rounds: int = 0
@@ -190,6 +203,7 @@ class SparkCrawler:
         max_rounds: int = 10_000,
         bloom_buckets: int = 0,
         bloom_bits: int = 1 << 20,
+        bloom_expected_keys: Optional[int] = None,
         serial_transfers: bool = False,
     ):
         self.spark = spark
@@ -256,12 +270,19 @@ class SparkCrawler:
             if f.handler == "writefile" and f.parsers
         ]
         self.store = SnapshotStore(state_dir) if state_dir else None
-        self.bloom = (
-            BloomSeenFilter(spark, n_buckets=bloom_buckets,
-                            m_bits=bloom_bits)
-            if bloom_buckets
-            else None
-        )
+        # bloom sizing: frontier-derived when the caller states an
+        # expected key count (operators/seen.py sized_for — ~9.6
+        # bits/key at 1% FP), else the explicit bloom_bits constant
+        if bloom_buckets and bloom_expected_keys:
+            self.bloom = BloomSeenFilter.sized_for(
+                spark, bloom_expected_keys, n_buckets=bloom_buckets
+            )
+        elif bloom_buckets:
+            self.bloom = BloomSeenFilter(
+                spark, n_buckets=bloom_buckets, m_bits=bloom_bits
+            )
+        else:
+            self.bloom = None
 
         # the docs table is the synthetic web; only the columns a
         # round needs are projected (column pruning reaches the scan)
@@ -453,11 +474,17 @@ class SparkCrawler:
             " s -> s.kind = 'text'), s -> coalesce(s.text, '')))"
         )
         wfb = wf.select(
-            "url", "filetype", "fetch_ord",
+            "url", "filetype", *_SORT_COLS,
             stem.alias("stem"), ext.alias("ext"), body.alias("body"),
         ).withColumn("base", F.concat("stem", "ext"))
 
-        wn = Window.partitionBy("base").orderBy("fetch_ord")
+        # collision numbering follows the DETERMINISTIC crawl sort key,
+        # not fetch_ord: with strict_order=False fetch_ord is
+        # monotonically_increasing_id over an unsorted frame, so
+        # partition layout would decide which same-base URL gets
+        # "page0.html" vs "page0-1.html" (the reference's stat() loop
+        # runs in its strict crawl order, builtin.c:112-117)
+        wn = Window.partitionBy("base").orderBy(*_SORT_COLS)
         named = (
             wfb.withColumn("rn", F.row_number().over(wn))
             .join(names, "base", "left")
@@ -707,7 +734,7 @@ class SparkCrawler:
                     break
                 # host-adoption wave: parked rows re-enter at depth 0
                 pending.unpersist()
-                pending = parked.withColumn("depth", F.lit(0)).withColumn("peek", F.lit(False)).persist()
+                pending = adopt_parked(parked).persist()
                 parked = None
                 if self.store:
                     self.store.table("frontier").append(
@@ -859,6 +886,12 @@ class SparkCrawler:
                         attr_targets, r, collect_lineage=True
                     )
                     n_targets_attr = entry.get("rows", 0)
+                elif self.collect_metrics:
+                    # store-less metric runs still count attribute
+                    # targets (the reference counts m.targets
+                    # unconditionally, worker.c:913-917) so stats
+                    # parity with the oracle holds without a state_dir
+                    n_targets_attr = attr_targets.count()
 
             # parse + canonicalize + classify ----------------------------
             candidates = parse_input.mapInPandas(
@@ -876,11 +909,20 @@ class SparkCrawler:
             )
 
             # global dedup: bloom prefilter + exact anti-join -------------
+            n_bloom_new = n_bloom_maybe = None
             if self.bloom is not None:
                 cand_hashed = candidates.withColumn(
                     "key_hash", F.xxhash64("seen_key")
                 )
                 definitely_new, maybe = self.bloom.split(cand_hashed)
+                if self.collect_metrics:
+                    # anti-join input reduction is THE bloom metric:
+                    # checkpoint both halves (one computation), then
+                    # the counts are metadata-cheap
+                    definitely_new = definitely_new.localCheckpoint()
+                    maybe = maybe.localCheckpoint()
+                    n_bloom_new = definitely_new.count()
+                    n_bloom_maybe = maybe.count()
                 checked = maybe.join(
                     seen.select("seen_key"), "seen_key", "left_anti"
                 )
@@ -1038,6 +1080,10 @@ class SparkCrawler:
                     "targets": int(n_targets) + int(n_targets_attr),
                     "selected": int(n_fetched),
                 }
+                if n_bloom_new is not None:
+                    # exact-join probe volume saved by the bloom layer
+                    row["bloom_definitely_new"] = int(n_bloom_new)
+                    row["bloom_maybe"] = int(n_bloom_maybe)
                 stats.per_round.append(row)
                 if self.store:
                     self.store.table("metrics").append(

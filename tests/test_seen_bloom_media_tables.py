@@ -171,3 +171,44 @@ class TestDistributedGenerator:
         st = c.run(seeds)
         assert st.fetched > 10
         assert st.seen > st.fetched / 2
+
+
+class TestBloomSizing:
+    def test_sized_for_fp_target(self, spark):
+        """Frontier-derived sizing: ~9.6 bits/key at 1% FP, power-of-2
+        per-bucket bitmaps, k near m/n*ln2."""
+        b = BloomSeenFilter.sized_for(
+            spark, expected_keys=10_000_000, fp_rate=0.01, n_buckets=64
+        )
+        per_bucket = 10_000_000 // 64
+        bits_per_key = b.m_bits / per_bucket
+        assert 9.585 <= bits_per_key <= 2 * 9.585  # pow2 round-up
+        assert b.m_bits & (b.m_bits - 1) == 0
+        assert 1 <= b.k <= 16
+
+    def test_sized_for_scales_with_keys(self, spark):
+        small = BloomSeenFilter.sized_for(spark, 100_000)
+        big = BloomSeenFilter.sized_for(spark, 1_000_000_000)
+        assert big.m_bits > small.m_bits
+        # 10^9 keys / 64 buckets at 1% needs >= 2^27 bits per bucket
+        assert big.m_bits >= 1 << 27
+
+    def test_sized_filter_behaves(self, spark):
+        b = BloomSeenFilter.sized_for(
+            spark, expected_keys=4000, fp_rate=0.01, n_buckets=4
+        )
+        seen = spark.range(2000).select(
+            F.xxhash64(F.col("id").cast("string")).alias("key_hash")
+        )
+        b.update(seen)
+        probe = spark.range(2000, 4000).select(
+            F.xxhash64(F.col("id").cast("string")).alias("key_hash")
+        )
+        new, maybe = b.split(probe)
+        n_new, n_maybe = new.count(), maybe.count()
+        assert n_new + n_maybe == 2000
+        # FP rate should be near the 1% design point (loose bound)
+        assert n_maybe <= 2000 * 0.05
+        # and inserted keys never leak through
+        n2, m2 = b.split(seen)
+        assert n2.count() == 0
