@@ -40,8 +40,15 @@ from typing import Tuple
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# total cores per level; executors = cores / EXECUTOR_CORES
-LEVELS = (2, 8)
+# total cores per level; executors = cores / EXECUTOR_CORES.
+# Default: the committed recipe — 1 vs 4 executors of 2 cores
+# (LEVELS 2,8). SPARK_GRAFT_LEVELS="1,4" with
+# SPARK_GRAFT_EXECUTOR_CORES=1 selects the fully-linear-window
+# variant (see EXECUTOR_CORES note).
+LEVELS = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_LEVELS", "2,8").split(",")
+)
 # --bloom: run the mega-round with the frontier-sized bloom seen-filter
 # enabled (and, with metrics, record the anti-join input reduction)
 _ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -57,7 +64,20 @@ FRONTIER_EVERY = int(_ARGS[2]) if len(_ARGS) > 2 else 3
 DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
 
-EXECUTOR_CORES = 2
+# Executor shape: identical at both levels. Default = the committed
+# round-2/3 recipe (2-core/12g executors, 1 vs 4 of them). The
+# alternative 1-core/8g shape (SPARK_GRAFT_EXECUTOR_CORES=1 with
+# LEVELS=1,4) keeps BOTH levels inside the host fabric's measured
+# linear window (full per-stream bandwidth up to ~4 concurrent
+# streams, saturating past 8 — BENCH/BASELINE.md microbench); the
+# 2-core shape puts the 4N level at that knee, which caps measured
+# efficiency near ~0.78-0.81 in healthy windows. A real cluster adds
+# a full memory system with every executor, so the linear region is
+# the faithful analog — but the recorded PASSes use the committed
+# 2-core recipe for round-over-round comparability.
+EXECUTOR_CORES = int(
+    os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2")
+)
 EXECUTOR_MEM_MB = int(
     os.environ.get("SPARK_GRAFT_EXECUTOR_MEM_MB", "12288")
 )
@@ -256,12 +276,30 @@ def register_bucketed_docs(spark, docs_path: str):
     return spark.table("docs_bucketed")
 
 
+def _copy_worker(q):
+    import numpy as np
+
+    arr = np.empty(100_000_000, dtype=np.uint8)
+    arr[:] = 7
+    t0 = time.time()
+    for _ in range(6):
+        b = arr.copy()
+        arr[0] = b[0]
+    q.put(time.time() - t0)
+
+
 def host_probe() -> dict:
-    """Single-thread CPU + single-stream copy calibration, run right
-    before each level: this sandbox VM's capacity varies with time
-    (sustained-load throttling / noisy neighbors — measured 1.9x CPU
-    and 5.5x copy slowdowns within one afternoon), so every recorded
-    level carries the host state it ran under."""
+    """Host calibration, run right before each level: single-thread
+    CPU, single-stream copy, AND 4-stream aggregate copy. The VM's
+    capacity varies with time (sustained-load throttling / noisy
+    neighbors — measured 1.9x CPU and up to 23x copy slowdowns), and
+    the single-stream probe alone proved insufficient: the AGGREGATE
+    fabric bandwidth can degrade while one stream still looks healthy,
+    which hits the 4N level disproportionately. probe_copy4_s is the
+    slowest of 4 concurrent copy processes (healthy ~ 1.5-2x the
+    single-stream time; >>2x = the fabric is saturated by others)."""
+    import multiprocessing as mp
+
     import numpy as np
 
     t0 = time.time()
@@ -276,8 +314,21 @@ def host_probe() -> dict:
         b = arr.copy()
         arr[0] = b[0]
     copy_s = time.time() - t0
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_copy_worker, args=(q,))
+             for _ in range(4)]
+    for p in procs:
+        p.start()
+    times = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    # per-copy time of the slowest stream, normalized to the
+    # single-stream loop count (10 vs 6 iterations)
+    copy4_s = max(times) * (10 / 6)
     return {"probe_cpu_s": round(cpu_s, 3),
-            "probe_copy_s": round(copy_s, 3)}
+            "probe_copy_s": round(copy_s, 3),
+            "probe_copy4_s": round(copy4_s, 3)}
 
 
 def run_at(cpus: int, docs_path: str, frontier_path: str,
@@ -410,10 +461,12 @@ def main():
                 f"| {r['urls_per_sec']} |\n"
             )
         f.write(
-            "\nhost-capacity probes before each level "
-            "(single-thread CPU / single-stream copy): "
+            "\nhost-capacity probes before each level (single-thread "
+            "CPU / single-stream copy / slowest-of-4 aggregate copy): "
             + ", ".join(
-                f"{r['cpus']}c: {r['probe_cpu_s']}s/{r['probe_copy_s']}s"
+                f"{r['cpus']}c: {r['probe_cpu_s']}s/"
+                f"{r['probe_copy_s']}s/"
+                f"{r.get('probe_copy4_s', 'n/a')}s"
                 for r in results
             )
             + "\n"

@@ -58,13 +58,16 @@ from ..operators.admission import (
 # prefix-based, so forbidding these four prefixes is exactly
 # conservative (no CURIE can ever be declared in a guarded text)
 _SPECIAL_ANY_RE = re.compile(r"<(?:script|style|textarea|html)", re.I)
-# a text is "all fast tags" when deleting every <FAST_SKIP / <FAST_TAG
-# occurrence leaves no '<' behind (the tag patterns cannot contain '<'
-# internally: their char classes all exclude it)
-_TAGS_RE = re.compile(
+# ONE extraction pass doubles as the guard: every '<' must start a
+# FAST_SKIP or FAST_TAG match (the tag patterns cannot contain '<'
+# internally — their char classes all exclude it — so matches are
+# non-overlapping and each consumes exactly one '<'). A text is
+# guard-clean iff its match count equals its '<' count; counting is a
+# scan, unlike a replace()-based residue check which would copy the
+# whole corpus text per batch.
+_EXTRACT_RE = re.compile(
     "<(?:" + _FAST_SKIP.pattern + "|" + _FAST_TAG.pattern + ")"
 )
-_EXTRACT_RE = re.compile("<" + _FAST_TAG.pattern)
 
 # -- canonicalization fast shapes (whole-column) -----------------------------
 
@@ -239,50 +242,68 @@ def _extract_links(pdf, parse_mask, ftcol, ft_parsers):
     textual = spdf[~is_media & spdf["text"].notna() & (spdf["text"] != "")]
     if not len(textual):
         return frames
-    chains = textual["rid"].map(lambda r: ft_parsers[ftcol.iloc[r]])
-    html_chain = chains.map(lambda c: c == ("html",))
+    # chain per span via ONE dict map + numpy fancy indexing (a
+    # per-span .iloc lambda here profiled at ~50% of extraction)
+    parsers_by_row = ftcol.map(ft_parsers).to_numpy()
+    chains = parsers_by_row[textual["rid"].to_numpy()]
+    html_chain = pd.Series(
+        [c == ("html",) for c in chains], index=textual.index
+    )
     t = textual["text"]
     fast = pd.Series(False, index=textual.index)
+    ex = None
     if html_chain.any():
         th = t[html_chain]
-        guard = ~th.str.contains(
-            _SPECIAL_ANY_RE.pattern, case=False, regex=True
-        ) & ~th.str.replace(_TAGS_RE.pattern, "", regex=True).str.contains(
-            "<", regex=False
+        # one extraction pass; guard = (matches consumed every '<')
+        # and no special-prefixed tag anywhere
+        ex = th.str.extractall(_EXTRACT_RE)
+        n_match = (
+            ex.groupby(level=0).size()
+            if len(ex)
+            else pd.Series(dtype="int64")
+        )
+        n_lt = th.str.count("<")
+        guard = (
+            n_lt.eq(n_match.reindex(th.index, fill_value=0))
+            & ~th.str.contains(
+                _SPECIAL_ANY_RE.pattern, case=False, regex=True
+            )
         )
         fast.loc[guard.index] = guard
 
-    if fast.any():
-        ex = t[fast].str.extractall(_EXTRACT_RE)
-        if len(ex):
-            vals = ex[0]
-            vals = vals[
-                vals.notna()
-                & (vals != "")
-                & ~vals.str.startswith("#", na=False)
-            ]
-            if len(vals):
-                lf = vals.reset_index()
-                lf.columns = ["span_row", "pos", "href"]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "rid": textual["rid"]
-                            .loc[lf["span_row"]].to_numpy(),
-                            "span_ix": textual["span_ix"]
-                            .loc[lf["span_row"]].to_numpy(),
-                            "pos": lf["pos"].to_numpy(),
-                            "href": lf["href"].astype(object).to_numpy(),
-                        }
-                    )
+    if ex is not None and len(ex):
+        vals = ex[0]
+        # keep only matches from guard-passing spans
+        ok_rows = fast[vals.index.get_level_values(0)].to_numpy()
+        vals = vals[ok_rows]
+        vals = vals[
+            vals.notna()
+            & (vals != "")
+            & ~vals.str.startswith("#", na=False)
+        ]
+        if len(vals):
+            lf = vals.reset_index()
+            lf.columns = ["span_row", "pos", "href"]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "rid": textual["rid"]
+                        .loc[lf["span_row"]].to_numpy(),
+                        "span_ix": textual["span_ix"]
+                        .loc[lf["span_row"]].to_numpy(),
+                        "pos": lf["pos"].to_numpy(),
+                        "href": lf["href"].astype(object).to_numpy(),
+                    }
                 )
+            )
 
-    slow = textual[~fast]
-    if len(slow):
+    slow_mask = (~fast).to_numpy()
+    if slow_mask.any():
+        slow = textual[~fast]
         rows = []
         for rid_, six_, kind_, text_, chain_ in zip(
             slow["rid"], slow["span_ix"], slow["kind"], slow["text"],
-            chains[~fast],
+            chains[slow_mask],
         ):
             links = extract_links_from_spans(
                 [

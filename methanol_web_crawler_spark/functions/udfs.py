@@ -82,13 +82,32 @@ def build_indexes(config: CrawlConfig) -> Dict[str, FtIndex]:
 def make_link_resolver(config: CrawlConfig, default_crawler: str):
     """mapInPandas stage: fetched pages -> candidate link rows.
 
-    Delegates to the whole-column vectorized implementation
-    (resolve_vec.py) — pandas/numpy column ops with an exact scalar
-    residue, no ``itertuples`` in the hot path. The scalar twin below
-    remains as the differential-test reference."""
-    from .resolve_vec import make_link_resolver_vec
+    Three interchangeable implementations, selectable with
+    METHANOL_RESOLVER (resolved at plan-build time on the driver),
+    all pinned byte-identical by tests/test_resolver_vec_diff.py:
 
-    return make_link_resolver_vec(config, default_crawler)
+    - ``scalar`` (default): the per-row machine below with compiled-
+      regex fast paths. MEASURED fastest on this sandbox host — the
+      whole-column pandas twin was 0.88x single-thread and 182 s vs
+      261 s on the 8-core mega-round level (BENCH/BASELINE.md round-3
+      A/B): pandas object-dtype str ops are per-row C loops anyway,
+      and their per-pass column temporaries add memory traffic that
+      saturates this VM's fabric exactly at the multi-executor level.
+    - ``vec``: the whole-column pandas implementation
+      (resolve_vec.py) — kept as the differential reference and for
+      hosts where Arrow batches are large and bandwidth is plentiful.
+    - the scale path that actually removes Python text processing is
+      the JVM extraction stage (plans/crawl.py jvm_extract_links):
+      span text never crosses Arrow at all; only small candidate rows
+      reach the Python admission stage."""
+    import os
+
+    choice = os.environ.get("METHANOL_RESOLVER", "scalar")
+    if choice == "vec":
+        from .resolve_vec import make_link_resolver_vec
+
+        return make_link_resolver_vec(config, default_crawler)
+    return make_link_resolver_scalar(config, default_crawler)
 
 
 def make_link_resolver_scalar(config: CrawlConfig, default_crawler: str):
@@ -208,6 +227,71 @@ def make_link_resolver_scalar(config: CrawlConfig, default_crawler: str):
             yield pd.DataFrame(out, columns=cols)
 
     return resolve
+
+
+def make_link_admitter(config: CrawlConfig, default_crawler: str):
+    """mapInPandas stage: JVM-extracted link rows -> candidate rows.
+
+    The downstream half of the resolver for the jvm extraction mode
+    (functions/extract_jvm.py): inputs already carry one raw href per
+    row plus the parent's URL fields, child depth and redirect count —
+    NO span text crosses Arrow. Canonicalization/classification/
+    routing are byte-identical to the scalar resolver's inner loop
+    (ue_add + lm_worker_bind_url, urlengine.c:170-250 /
+    worker.c:666-714)."""
+
+    def admit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        indexes = build_indexes(config)
+        cols = [f.name for f in CANDIDATE_SCHEMA.fields]
+
+        for pdf in it:
+            out: List[list] = []
+            for row in pdf.itertuples(index=False):
+                base = ParsedUrl(
+                    row.url, row.host_o, row.host_l, row.file_o,
+                    row.ext_o, row.protocol, row.is_dynamic, row.www,
+                )
+                cr_name = getattr(row, "crawler", None) or default_crawler
+                parent_peek = bool(getattr(row, "peek", False))
+                ft = config.filetype(row.filetype)
+                eff_name = ft.switch_to or cr_name
+                idx = indexes[eff_name]
+
+                res = add_url(base, row.href, bool(row.external))
+                if res is None:
+                    continue
+                parsed, external = res
+                kind, name = idx.match_by_url(parsed)
+                needs_head = kind == HEAD
+                depth = int(row.child_depth)
+                peek = parent_peek
+                if needs_head:
+                    route, rank = None, None
+                elif kind == FT:
+                    route, rank, peek_start = route_of(
+                        name, external, idx, config, parent_peek
+                    )
+                    if peek_start:
+                        peek = True
+                        depth = 0
+                else:
+                    name = None
+                    route, rank = R_DISCARD, len(idx.ft_list)
+                out.append(
+                    [
+                        parsed.url, parsed.host_o, parsed.host_l,
+                        parsed.file_o, parsed.ext_o, parsed.protocol,
+                        parsed.is_dynamic, parsed.www_prefix,
+                        parsed.seen_key, parsed.host_identity,
+                        external, needs_head, name, rank, route,
+                        eff_name, peek, depth,
+                        int(row.fetch_round), int(row.fetch_ord),
+                        int(row.sibling_ix), int(row.rcount),
+                    ]
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return admit
 
 
 # attribute-target rows emitted by the attrs extraction stage (P11)

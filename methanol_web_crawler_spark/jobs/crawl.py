@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
                      "hot-host skew")
     run.add_argument("--bloom-buckets", type=int, default=0)
     run.add_argument("--strict-order", action="store_true")
+    run.add_argument("--fetch", default="join",
+                     choices=["join", "http"],
+                     help="'join' reads --docs/--synth-docs; 'http' "
+                     "performs real batched HTTP GETs per round "
+                     "(sources/fetch_http.py)")
+    run.add_argument("--fetch-timeout", type=float, default=30.0)
 
     sess = p.add_argument_group("session (ignored under spark-submit)")
     sess.add_argument("--master", default=None)
@@ -112,7 +118,20 @@ def main(argv=None) -> int:
 
     cfg = load_cfg(args)
 
-    if args.synth_docs:
+    fetcher = None
+    if args.fetch == "http":
+        from ..sources.fetch_http import DOCS_SCHEMA, make_http_fetcher
+
+        fetcher = make_http_fetcher(timeout=args.fetch_timeout)
+        # docs table optional in http mode (robots/HEAD side-tables
+        # come from it when provided)
+        docs = (
+            spark.read.parquet(args.docs)
+            if args.docs
+            else spark.createDataFrame([], DOCS_SCHEMA)
+        )
+        seeds = args.seeds
+    elif args.synth_docs:
         from ..sources.synthweb_spark import generate_web_df
 
         docs, gen_seeds = generate_web_df(
@@ -145,6 +164,7 @@ def main(argv=None) -> int:
         max_rounds=args.max_rounds,
         bloom_buckets=args.bloom_buckets,
         serial_transfers=args.serial,
+        fetcher=fetcher,
     )
     stats = crawler.resume() if args.resume else crawler.run(seeds)
     print(json.dumps({

@@ -30,6 +30,7 @@ Scale posture (the parts that matter at a 10^10-URL frontier):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -46,6 +47,7 @@ from ..functions.udfs import (
     ROBOTS_RULES_TYPE,
     make_attr_extractor,
     make_head_classifier,
+    make_link_admitter,
     make_link_resolver,
     make_robots_parser,
 )
@@ -86,6 +88,10 @@ FRONTIER_SCHEMA = T.StructType(
 )
 
 SEEN_SCHEMA = "seen_key string, key_hash long, first_round int"
+
+# bucket count of the compacted seen table (at 100 TB this is the
+# Iceberg bucket(seen_key) spec; locally a bucketed parquet table)
+SEEN_BUCKETS = 64
 
 _SORT_COLS = ["ft_rank", "parent_round", "parent_ord", "sibling_ix"]
 
@@ -163,6 +169,35 @@ def split_wave(pending: DataFrame) -> Tuple[int, int, DataFrame, DataFrame]:
     )
 
 
+def build_candidates(
+    parse_input: DataFrame,
+    config,
+    resolver,
+    admitter,
+    mode: str,
+) -> DataFrame:
+    """The parse/canonicalize/classify stage under a selectable
+    resolver mode (see udfs.make_link_resolver):
+
+    - "jvm": link EXTRACTION runs as JVM expressions
+      (functions/extract_jvm.py) — span text never crosses Arrow;
+      only small per-link rows reach the Python admission stage.
+      Guard-failing documents take the exact Python resolver.
+    - "scalar"/"vec": the whole document goes through the chosen
+      mapInPandas resolver."""
+    from ..functions.udfs import CANDIDATE_SCHEMA
+
+    if mode == "jvm":
+        from ..functions.extract_jvm import split_jvm_extractable
+
+        link_rows, py_docs = split_jvm_extractable(parse_input, config)
+        out = link_rows.mapInPandas(admitter, CANDIDATE_SCHEMA)
+        return out.unionByName(
+            py_docs.mapInPandas(resolver, CANDIDATE_SCHEMA)
+        )
+    return parse_input.mapInPandas(resolver, CANDIDATE_SCHEMA)
+
+
 def adopt_parked(parked: DataFrame) -> DataFrame:
     """Q6 pending-host adoption: when the frontier is exhausted,
     parked EXTERNAL rows re-enter as a fresh wave at depth 0 with the
@@ -205,6 +240,9 @@ class SparkCrawler:
         bloom_bits: int = 1 << 20,
         bloom_expected_keys: Optional[int] = None,
         serial_transfers: bool = False,
+        fetcher=None,
+        seen_compact_every: int = 8,
+        resolver_mode: Optional[str] = None,
     ):
         self.spark = spark
         self.config = config
@@ -269,7 +307,28 @@ class SparkCrawler:
             for f in self.idx.ft_list
             if f.handler == "writefile" and f.parsers
         ]
+        # S3 real-fetch seam: a callable(urls_df) -> docs-shaped frame
+        # (sources/fetch_http.py make_http_fetcher) replaces the
+        # synthetic docs join; robots/HEAD side-tables still come from
+        # the docs table (pass real robots docs there, or none)
+        self.fetcher = fetcher
+        # resolver mode: explicit param > METHANOL_RESOLVER env >
+        # scalar (measured fastest of the pandas paths on this host;
+        # "jvm" moves extraction into codegen — see build_candidates)
+        self.resolver_mode = resolver_mode or os.environ.get(
+            "METHANOL_RESOLVER", "scalar"
+        )
         self.store = SnapshotStore(state_dir) if state_dir else None
+        # bucketed seen table (PLANS.md design, enacted): in store
+        # mode, every `seen_compact_every` rounds the full seen set is
+        # compacted into a parquet table BUCKETED by seen_key; the
+        # per-round exact anti-join then scans it with NO exchange on
+        # the seen side (only candidates shuffle into the bucket
+        # layout) and removes the few post-compaction delta rounds
+        # with a broadcast anti-join. 0 disables compaction.
+        self.seen_compact_every = seen_compact_every if self.store else 0
+        self._seen_bucketed: Optional[DataFrame] = None
+        self._compact_round = -1
         # bloom sizing: frontier-derived when the caller states an
         # expected key count (operators/seen.py sized_for — ~9.6
         # bits/key at 1% FP), else the explicit bloom_bits constant
@@ -417,6 +476,54 @@ class SparkCrawler:
             .select("host", "rules")
         )
         return hosts.unionByName(fetched)
+
+    # -- seen anti-join (bucketed fast path) -----------------------------
+
+    def _anti_seen(self, cand: DataFrame, seen: DataFrame) -> DataFrame:
+        """Remove already-seen keys from ``cand``.
+
+        With a compacted bucketed seen snapshot attached, the big
+        anti-join side is a bucketed table scan (no seen-side
+        exchange; candidates shuffle into its bucket layout) and the
+        post-compaction rounds — a few small deltas — broadcast.
+        Otherwise: the plain anti-join against the in-memory union."""
+        if self._seen_bucketed is not None:
+            out = cand.join(
+                self._seen_bucketed.select("seen_key"),
+                "seen_key", "left_anti",
+            )
+            recent = self.store.table("seen").read_since(
+                self.spark, self._compact_round
+            )
+            if recent is not None:
+                out = out.join(
+                    F.broadcast(recent.select("seen_key")),
+                    "seen_key", "left_anti",
+                )
+            return out
+        return cand.join(
+            seen.select("seen_key"), "seen_key", "left_anti"
+        )
+
+    def _maybe_compact_seen(self, r: int) -> None:
+        """Cadenced seen-table compaction (store mode): rewrite the
+        full set as ONE bucketed snapshot and re-attach it as a
+        bucketed table scan for the next rounds' anti-joins."""
+        k = self.seen_compact_every
+        if not k or r % k != k - 1:
+            return
+        spark = self.spark
+        full = self.store.table("seen").read_until(spark).select(
+            "seen_key", "key_hash", "first_round"
+        )
+        self.store.table("seen_bucketed").append(
+            full, r, collect_lineage=False,
+            bucket_by=("seen_key", SEEN_BUCKETS),
+        )
+        self._seen_bucketed = self.store.table(
+            "seen_bucketed"
+        ).read_bucketed(spark, table_name="seen_bucketed_attach")
+        self._compact_round = r
 
     # -- S9 writefile handler -------------------------------------------
 
@@ -638,6 +745,15 @@ class SparkCrawler:
         seen = self.store.table("seen").read_until(spark).select(
             "seen_key", "key_hash", "first_round"
         )
+        sb = self.store.table("seen_bucketed")
+        last_compact = sb.latest_round()
+        if last_compact is not None:
+            # re-attach the compacted bucketed seen scan (files carry
+            # the bucket ids; the in-memory catalog forgot them)
+            self._seen_bucketed = sb.read_bucketed(
+                spark, table_name="seen_bucketed_attach"
+            )
+            self._compact_round = last_compact
         hosts = self.store.table("hosts_state").read_latest(spark)
         if hosts is None:
             hosts = spark.createDataFrame([], self._hosts_schema())
@@ -681,6 +797,12 @@ class SparkCrawler:
                 F.xxhash64("seen_key").alias("key_hash"),
                 F.lit(0).alias("first_round"),
             )
+        if self.bloom is not None:
+            # seed the filter with the initial seen keys — run() does
+            # this for seed crawls; without it every frontier key
+            # bypasses the exact anti-join as "definitely new" and the
+            # seen set inflates (caught by the --bloom-diag checksum)
+            self.bloom.update(seen.select("key_hash"))
         hosts = spark.createDataFrame([], self._hosts_schema()).persist()
         jail = (
             spark.createDataFrame(
@@ -710,7 +832,16 @@ class SparkCrawler:
         t0 = time.time()
 
         head_classify = make_head_classifier(self.config, self.crawler_name)
-        resolver = make_link_resolver(self.config, self.crawler_name)
+        if self.resolver_mode == "jvm":
+            from ..functions.udfs import make_link_resolver_scalar
+
+            # residue documents take the exact per-row machine
+            resolver = make_link_resolver_scalar(
+                self.config, self.crawler_name
+            )
+        else:
+            resolver = make_link_resolver(self.config, self.crawler_name)
+        admitter = make_link_admitter(self.config, self.crawler_name)
 
         # S9 writefile naming state (cumulative per-base counts); on
         # resume the latest snapshot restores exact dedup numbering
@@ -807,10 +938,28 @@ class SparkCrawler:
                 "fetch_ord", F.monotonically_increasing_id()
             ).withColumn("fetch_round", F.lit(r))
 
-            # the "fetch": join the docs table --------------------------
+            # the "fetch": join the docs table — or, with a fetcher
+            # installed (sources/fetch_http.py), the mapInPandas
+            # batch-HTTP stage producing the same docs shape ----------
+            if self.fetcher is not None:
+                docs_side = self.fetcher(ordered)
+            else:
+                docs_side = self.docs
             fetched = ordered.join(
-                self.docs, ordered.url == self.docs.doc_id, "left"
-            ).drop("doc_id").persist()
+                docs_side, ordered.url == docs_side.doc_id, "left"
+            ).drop("doc_id")
+            # persist is the MEASURED winner even for single-consumer
+            # rounds (8-core mega-round A/B: 151 s cached vs 200 s
+            # uncached in adjacent windows — the un-cached variant
+            # recomputes the politeness/robots chain for the fetch
+            # count and loses stage pipelining between the join and
+            # the downstream window); METHANOL_FETCH_PERSIST=0 keeps
+            # the experiment reproducible.
+            fetched_cached = os.environ.get(
+                "METHANOL_FETCH_PERSIST", "1"
+            ) != "0"
+            if fetched_cached:
+                fetched = fetched.persist()
 
             # crawl log (S11) -------------------------------------------
             if self.store:
@@ -894,8 +1043,9 @@ class SparkCrawler:
                     n_targets_attr = attr_targets.count()
 
             # parse + canonicalize + classify ----------------------------
-            candidates = parse_input.mapInPandas(
-                resolver, CANDIDATE_SCHEMA
+            candidates = build_candidates(
+                parse_input, self.config, resolver, admitter,
+                self.resolver_mode,
             )
 
             # in-batch dedup: first admission in fetch order wins --------
@@ -923,16 +1073,12 @@ class SparkCrawler:
                     maybe = maybe.localCheckpoint()
                     n_bloom_new = definitely_new.count()
                     n_bloom_maybe = maybe.count()
-                checked = maybe.join(
-                    seen.select("seen_key"), "seen_key", "left_anti"
-                )
+                checked = self._anti_seen(maybe, seen)
                 new_links = definitely_new.unionByName(checked).drop(
                     "key_hash"
                 )
             else:
-                new_links = candidates.join(
-                    seen.select("seen_key"), "seen_key", "left_anti"
-                )
+                new_links = self._anti_seen(candidates, seen)
 
             # HEAD resolution (F3): content-type join for POSSIBLE_MATCH
             # (statically pruned when no crawler has a "lookup" binding
@@ -1029,11 +1175,23 @@ class SparkCrawler:
                 ).persist()
             else:
                 old = pending
-                pending = new_pending.localCheckpoint()
+                # coalesce before the checkpoint: the 3-way union
+                # inherits the sum of its parents' partitions, which
+                # compounds +O(shuffle.partitions) per round — a
+                # many-round budgeted crawl otherwise snowballs into
+                # tens of thousands of near-empty tasks (measured:
+                # a 36k-task stage on an 81-round politeness crawl).
+                # coalesce is a narrow dep: no shuffle, just fewer,
+                # fuller tasks.
+                n_part = spark.sparkContext.defaultParallelism
+                pending = new_pending.coalesce(
+                    n_part
+                ).localCheckpoint()
                 old.unpersist()
 
             seen.unpersist()
             if self.store:
+                self._maybe_compact_seen(r)
                 # re-read from snapshots: flat parquet scans instead of
                 # an ever-growing union plan (lineage truncation)
                 seen = self.store.table("seen").read_until(spark).select(
@@ -1045,7 +1203,10 @@ class SparkCrawler:
                 # checkpoint on a cadence, accumulate flat unions of
                 # already-truncated deltas in between
                 if r % 8 == 7:
-                    seen = new_seen.localCheckpoint()
+                    # same partition-snowball guard as the frontier
+                    seen = new_seen.coalesce(
+                        spark.sparkContext.defaultParallelism
+                    ).localCheckpoint()
                 else:
                     seen = new_seen.persist()
             if parked is not None and r % 4 == 3:
@@ -1057,7 +1218,9 @@ class SparkCrawler:
                 parked = parked.localCheckpoint()
 
             # cheap now: fetched/admitted are cached by the checkpoint
-            n_fetched = fetched.count()
+            n_fetched = (
+                fetched.count() if fetched_cached else ordered.count()
+            )
             stats.fetched += n_fetched
             n_admitted = n_targets = 0
             if self.collect_metrics:
@@ -1086,9 +1249,16 @@ class SparkCrawler:
                     row["bloom_maybe"] = int(n_bloom_maybe)
                 stats.per_round.append(row)
                 if self.store:
+                    # explicit field list: `row` may carry extra
+                    # diagnostic keys (bloom counters) beyond the
+                    # stored metric schema
                     self.store.table("metrics").append(
                         spark.createDataFrame(
-                            [tuple(row.values())],
+                            [(
+                                row["round"], row["depth"],
+                                row["fetched"], row["admitted"],
+                                row["targets"], row["selected"],
+                            )],
                             "round int, depth int, fetched long,"
                             " admitted long, targets long, selected long",
                         ),
@@ -1112,7 +1282,8 @@ class SparkCrawler:
                     r + 1, collect_lineage=False,
                 )
 
-            fetched.unpersist()
+            if fetched_cached:
+                fetched.unpersist()
             if self.budget:
                 selected.unpersist()
             admitted.unpersist()

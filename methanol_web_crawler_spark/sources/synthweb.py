@@ -201,3 +201,63 @@ def generate_web(
 
     seeds = [pages[h][0] for h in hosts[: min(3, n_hosts)]]
     return SynthWeb(docs=docs, seeds=seeds)
+
+
+def generate_ftp_web() -> SynthWeb:
+    """Deterministic FTP mini-tree (S6): every doc is a directory's
+    LIST response carried as one ``kind='ftplist'`` span, mixing the
+    three formats the ftp parser handles (EPLF, Unix ls, MSDOS IIS)
+    plus a symlink (flagtrycwd) and an unparseable line. Shared by the
+    conf/ftp.conf end-to-end tests and the crawl_ftp driver query."""
+
+    def listing(url, lines):
+        return SynthDoc(
+            doc_id=url,
+            spans=[("ftplist", "\n".join(lines) + "\n", None, 0)],
+            content_type="text/plain",
+        )
+
+    docs = [
+        listing(
+            "ftp://f01.test/",
+            [
+                "+i8388621.29609,m824255902,/,\tpub",
+                "+i8388621.44468,m839956783,r,s10376,\twelcome.msg",
+                "drwxr-xr-x   2 root  ftp   4096 Jan 10 2024 src",
+                "-rw-r--r--   1 root  ftp   1024 Jan 10 2024 readme.txt",
+                "lrwxrwxrwx   1 root  ftp      3 Jan 10 13:30 latest -> src",
+            ],
+        ),
+        listing(
+            "ftp://f01.test/pub/",
+            [
+                "01-10-24  01:30PM       <DIR>          data",
+                "01-10-24  01:31PM                10234 notes.txt",
+            ],
+        ),
+        listing(
+            "ftp://f01.test/pub/data/",
+            ["-rw-r--r--   1 root  ftp  99 Jan 10 2024 blob.bin"],
+        ),
+        listing(
+            "ftp://f01.test/src/",
+            ["drwxr-xr-x   2 root ftp 4096 Jan 11 2024 v2"],
+        ),
+        listing(
+            "ftp://f01.test/src/v2/",
+            ["-rw-r--r--   1 root ftp 5 Jan 11 2024 tag"],
+        ),
+        listing(
+            "ftp://f01.test/latest/",
+            ["-rw-r--r--  1 root ftp 5 Jan 11 2024 head"],
+        ),
+        listing(
+            "ftp://f02.test/",
+            ["+i1.2,m3,/,\tmirror",
+             "garbage line that parses to nothing"],
+        ),
+        listing("ftp://f02.test/mirror/", []),
+    ]
+    return SynthWeb(
+        docs=docs, seeds=["ftp://f01.test/", "ftp://f02.test/"]
+    )

