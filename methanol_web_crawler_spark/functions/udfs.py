@@ -358,17 +358,30 @@ def make_head_classifier(config: CrawlConfig, default_crawler: str):
 
     def classify(pdf: pd.DataFrame) -> pd.DataFrame:
         indexes = build_indexes(config)
+        # the decision is a pure function of (content_type, crawler,
+        # external, peek) — memoize over the batch's UNIQUE keys so
+        # the per-row loop is dict lookups, not classifier calls
+        memo: dict = {}
         fts, ranks, routes, peeks, depths = [], [], [], [], []
         for ct, ext, cr_name, peek, depth in zip(
             pdf["content_type"], pdf["external"], pdf["crawler"],
             pdf["peek"], pdf["depth"],
         ):
-            idx = indexes[cr_name or default_crawler]
-            name = idx.match_by_mime(ct if isinstance(ct, str) else None)
-            # a HEAD row's parent peek state is its tentative peek col
-            route, rank, peek_start = route_of(
-                name, bool(ext), idx, config, bool(peek)
+            key = (
+                ct if isinstance(ct, str) else None,
+                cr_name or default_crawler, bool(ext), bool(peek),
             )
+            hit = memo.get(key)
+            if hit is None:
+                idx = indexes[key[1]]
+                name = idx.match_by_mime(key[0])
+                # a HEAD row's parent peek state is its tentative
+                # peek column
+                route, rank, peek_start = route_of(
+                    name, key[2], idx, config, key[3]
+                )
+                hit = memo[key] = (name, route, rank, peek_start)
+            name, route, rank, peek_start = hit
             if peek_start:
                 peek = True
                 depth = 0

@@ -79,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
                      "performs real batched HTTP GETs per round "
                      "(sources/fetch_http.py)")
     run.add_argument("--fetch-timeout", type=float, default=30.0)
+    run.add_argument("--hook-session-complete", default=None,
+                     help="shell command run when the session "
+                     "finishes (mn-slaved session-complete hook; "
+                     "session info exported as NOL_* env vars)")
+    run.add_argument("--hook-cleanup", default=None,
+                     help="shell command run at engine shutdown "
+                     "(mn-slaved cleanup hook)")
 
     sess = p.add_argument_group("session (ignored under spark-submit)")
     sess.add_argument("--master", default=None)
@@ -157,6 +164,15 @@ def main(argv=None) -> int:
 
     from ..plans.crawl import SparkCrawler
 
+    hooks = None
+    if args.hook_session_complete or args.hook_cleanup:
+        from ..plans.hooks import SessionHooks
+
+        hooks = SessionHooks(
+            session_complete=args.hook_session_complete,
+            cleanup=args.hook_cleanup,
+        )
+
     crawler = SparkCrawler(
         spark, docs, cfg, crawler=args.crawler,
         politeness_budget=budget, strict_order=args.strict_order,
@@ -165,8 +181,12 @@ def main(argv=None) -> int:
         bloom_buckets=args.bloom_buckets,
         serial_transfers=args.serial,
         fetcher=fetcher,
+        hooks=hooks,
     )
-    stats = crawler.resume() if args.resume else crawler.run(seeds)
+    try:
+        stats = crawler.resume() if args.resume else crawler.run(seeds)
+    finally:
+        crawler.close()
     print(json.dumps({
         "rounds": stats.rounds,
         "fetched": stats.fetched,

@@ -243,6 +243,7 @@ class SparkCrawler:
         fetcher=None,
         seen_compact_every: int = 8,
         resolver_mode: Optional[str] = None,
+        hooks=None,
     ):
         self.spark = spark
         self.config = config
@@ -319,6 +320,11 @@ class SparkCrawler:
             "METHANOL_RESOLVER", "scalar"
         )
         self.store = SnapshotStore(state_dir) if state_dir else None
+        # session lifecycle hooks (mn-slaved analog, plans/hooks.py):
+        # session-complete runs between the 'hook' and 'done' session
+        # states; cleanup runs from close()
+        self.hooks = hooks
+        self._session_id: Optional[str] = None
         # bucketed seen table (PLANS.md design, enacted): in store
         # mode, every `seen_compact_every` rounds the full seen set is
         # compacted into a parquet table BUCKETED by seen_key; the
@@ -831,6 +837,7 @@ class SparkCrawler:
         spark = self.spark
         t0 = time.time()
 
+        self._append_session("running", stats, start_round)
         head_classify = make_head_classifier(self.config, self.crawler_name)
         if self.resolver_mode == "jvm":
             from ..functions.udfs import make_link_resolver_scalar
@@ -1294,7 +1301,59 @@ class SparkCrawler:
         stats.wall_s = time.time() - t0
         self._final_seen = seen
         self._final_pending = pending
+        self._finish_session(stats, r)
         return stats
+
+    # -- session lifecycle (mn-slaved analog) ---------------------------
+
+    def _session_row(self, state: str, stats: CrawlStats, r: int):
+        import uuid
+
+        if self._session_id is None:
+            self._session_id = uuid.uuid4().hex[:12]
+        return (
+            self._session_id, state, int(r), int(stats.fetched),
+            int(stats.seen),
+        )
+
+    def _append_session(self, state: str, stats: CrawlStats, r: int):
+        if not self.store:
+            return
+        self.store.table("sessions").append(
+            self.spark.createDataFrame(
+                [self._session_row(state, stats, r)],
+                "session_id string, state string, rounds int,"
+                " fetched long, seen long",
+            ),
+            r, collect_lineage=False,
+        )
+
+    def _finish_session(self, stats: CrawlStats, r: int) -> None:
+        """Session completion: state 'running' -> 'hook' -> 'done'
+        around the session-complete hook, exactly the nol_session
+        transition the slave performs (client.c:470-486)."""
+        info = {
+            "session_id": self._session_id or "",
+            "rounds": stats.rounds,
+            "fetched": stats.fetched,
+            "seen": stats.seen,
+            "targets": stats.targets,
+        }
+        if self.hooks is not None and self.hooks.has(
+            "session-complete"
+        ):
+            self._append_session("hook", stats, r)
+            info["session_id"] = self._session_id or ""
+            self.hooks.invoke("session-complete", info)
+        self._append_session("done", stats, r)
+
+    def close(self) -> None:
+        """Engine shutdown: the slave's exit path runs the cleanup
+        hook (main.c:230 nol_s_hook_invoke(HOOK_CLEANUP))."""
+        if self.hooks is not None:
+            self.hooks.invoke("cleanup", {
+                "session_id": self._session_id or "",
+            })
 
 
 def _head_mapper(head_classify):
