@@ -196,3 +196,81 @@ class TestJvmCrawlGolden:
             for r in engine._final_seen.select("seen_key").collect()
         }
         assert seen == oracle.seen
+
+
+class TestJvmRandomCorpus:
+    def test_seeded_random_batch_equivalence(self, spark):
+        """One batched comparison over a seeded random corpus mixing
+        fast tags, slow shapes, specials, media spans, text chains and
+        redirects — breadth beyond the hand-picked cases, one Spark
+        job (per-example Spark round-trips would make hypothesis-style
+        fuzzing here cost minutes; the pandas-level fuzz in
+        test_resolver_vec_diff covers the scalar semantics)."""
+        import random
+
+        rng = random.Random(20260817)
+        hrefs = [
+            "/p/a.html", "b.html", "../up.html", "./same.html",
+            "//h2.example.com/x.html", "sub/", "/", ".", "..",
+            "x.php?a=1", "?q=2", "x.html#f", "mailto:a@b.c",
+            "http://h2.example.com/y.html", "HTTPS://H3.EXAMPLE.COM/",
+            "ftp://f.example.com/d/", "sp ace.html", "unié.html",
+            "x.html?a=1&amp;b=2", "%41.html", "", "#only",
+            "[curie:ref]", "http://h2.example.com:8080/p.html",
+            "a//b.html", "/p/./x.html",
+        ]
+        styles = [
+            '<a href="{h}">t</a>',
+            "<a href='{h}'>t</a>",
+            '<img src="{h}"/>',
+            '<a class="k" href="{h}" id="z">t</a>',
+            '<a disabled href="{h}">t</a>',
+            "<p>text {h} </p>",
+            "<style>.x {{ background: url({h}); }}</style>",
+            "<script>var x = '{h}';</script>",
+        ]
+        rows = []
+        for i in range(120):
+            base = rng.choice(
+                [
+                    "http://h1.example.com/p/x.html",
+                    "http://www.h1.example.com/",
+                    "http://h1.example.com/q/view.php?id=1",
+                    "ftp://f.example.com/d/",
+                ]
+            )
+            if rng.random() < 0.15:
+                rows.append(
+                    _page_row(
+                        base, "html", None,
+                        status=rng.choice([301, 302, 307]),
+                        location=rng.choice(hrefs) or None,
+                        depth=rng.randrange(3),
+                        redirect_count=rng.choice([0, 3, 19]),
+                    )
+                )
+                continue
+            spans = []
+            for _ in range(rng.randrange(1, 4)):
+                if rng.random() < 0.2:
+                    spans.append(
+                        _span(kind="media",
+                              media_ref=rng.choice(hrefs) or None)
+                    )
+                elif rng.random() < 0.15:
+                    spans.append(_span("see " + rng.choice(
+                        ["http://t.example.com/a ",
+                         "ftp://t.example.com/b.txt end",
+                         "no urls here"])))
+                else:
+                    body = "".join(
+                        rng.choice(styles).format(h=rng.choice(hrefs))
+                        for _ in range(rng.randrange(0, 5))
+                    )
+                    spans.append(_span(body))
+            ft = "text" if rng.random() < 0.15 else "html"
+            rows.append(
+                _page_row(base, ft, spans,
+                          external=rng.random() < 0.2,
+                          depth=rng.randrange(3)))
+        assert_jvm_matches_scalar(spark, rows)
