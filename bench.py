@@ -73,6 +73,21 @@ def make_spark(cpus: str):
 CRAWL_SIZES = {0.001: (5_000, 50), 0.01: (50_000, 200),
                0.1: (200_000, 500)}
 
+# pinned crawl totals per sf: (urls_fetched, urls_seen). The crawl is
+# fully deterministic — seeded generator, layout-invariant fetch ids
+# (xxhash64(url), plans/crawl.py) — so any drift is a semantics change
+# and must fail loudly here, not surface as a silent shift in the
+# recorded bench totals (the round-3 35,066 -> 35,062 incident: a
+# coalesce-before-checkpoint changed the partition layout that
+# monotonically_increasing_id fetch ids encoded, silently moving
+# in-batch-dedup tie-break winners). Re-pin ONLY with a named,
+# intentional semantics change recorded in BENCH/BASELINE.md.
+CRAWL_CHECKSUMS = {
+    0.001: (2_758, 3_980),
+    0.01: (12_061, 21_540),
+    0.1: (35_050, 63_518),
+}
+
 
 def run_crawl_bench(spark, sf_dir: str) -> dict:
     from methanol_web_crawler_spark.config import default_config
@@ -104,6 +119,14 @@ def run_crawl_bench(spark, sf_dir: str) -> dict:
     t0 = time.time()
     stats = crawler.run(seeds)
     wall = time.time() - t0
+    expect = CRAWL_CHECKSUMS.get(sf_of(sf_dir))
+    if expect is not None and (stats.fetched, stats.seen) != expect:
+        raise AssertionError(
+            f"crawl-total drift at sf={sf_of(sf_dir)}: got "
+            f"(fetched={stats.fetched}, seen={stats.seen}), pinned "
+            f"{expect} — a semantics change reached the crawl loop; "
+            f"bisect it before re-pinning (see CRAWL_CHECKSUMS)"
+        )
     processed = stats.fetched + stats.seen
     return {
         "urls_fetched": stats.fetched,

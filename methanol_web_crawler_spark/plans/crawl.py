@@ -938,12 +938,28 @@ class SparkCrawler:
 
             # deterministic fetch order + fetch ids ----------------------
             if self.strict_order:
-                ordered = gated.orderBy(*_SORT_COLS)
+                # after the global sort, partition index order matches
+                # sort order, so monotonically_increasing_id is
+                # monotone in the strict crawl order (worker.c fetch
+                # loop parity) — id VALUES vary with layout but their
+                # ORDER (all any consumer uses) does not
+                ordered = gated.orderBy(*_SORT_COLS).withColumn(
+                    "fetch_ord", F.monotonically_increasing_id()
+                )
             else:
-                ordered = gated
-            ordered = ordered.withColumn(
-                "fetch_ord", F.monotonically_increasing_id()
-            ).withColumn("fetch_round", F.lit(r))
+                # layout-INVARIANT ids: urls are unique within a
+                # round's frontier, so xxhash64(url) is a unique,
+                # content-determined fetch id. monotonically_
+                # increasing_id here would encode the partition
+                # layout, and every repartition/coalesce/AQE change
+                # would silently shift which same-round duplicate
+                # wins the in-batch dedup tie-break downstream (the
+                # round-3 bench-total drift: 35,066 -> 35,062 fetched
+                # at sf0.1 from a coalesce-before-checkpoint).
+                ordered = gated.withColumn(
+                    "fetch_ord", F.xxhash64("url")
+                )
+            ordered = ordered.withColumn("fetch_round", F.lit(r))
 
             # the "fetch": join the docs table — or, with a fetcher
             # installed (sources/fetch_http.py), the mapInPandas
