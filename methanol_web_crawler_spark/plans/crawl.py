@@ -175,14 +175,20 @@ def build_candidates(
     resolver,
     admitter,
     mode: str,
+    default_crawler: str = "default",
+    persists: Optional[list] = None,
 ) -> DataFrame:
     """The parse/canonicalize/classify stage under a selectable
     resolver mode (see udfs.make_link_resolver):
 
     - "jvm": link EXTRACTION runs as JVM expressions
-      (functions/extract_jvm.py) — span text never crosses Arrow;
-      only small per-link rows reach the Python admission stage.
-      Guard-failing documents take the exact Python resolver.
+      (functions/extract_jvm.py) — span text never crosses Arrow —
+      and ADMISSION of fast-shape links (the overwhelmingly-common
+      printable-ASCII absolute/relative hrefs under no-UMEX crawlers)
+      runs as JVM expressions too (functions/admit_jvm.py); only
+      residue link rows and guard-failing documents reach Python.
+      METHANOL_JVM_ADMIT=0 keeps the all-Python admitter selectable
+      for A/B runs.
     - "scalar"/"vec": the whole document goes through the chosen
       mapInPandas resolver."""
     from ..functions.udfs import CANDIDATE_SCHEMA
@@ -191,7 +197,24 @@ def build_candidates(
         from ..functions.extract_jvm import split_jvm_extractable
 
         link_rows, py_docs = split_jvm_extractable(parse_input, config)
-        out = link_rows.mapInPandas(admitter, CANDIDATE_SCHEMA)
+        if os.environ.get("METHANOL_JVM_ADMIT", "1") != "0":
+            from ..functions.admit_jvm import split_fast_admit
+
+            # cache the tagged link rows when the caller manages the
+            # lifecycle (the round loop): both filter branches then
+            # read one materialization instead of re-running the span
+            # extraction regexes
+            fast_out, residue, cached = split_fast_admit(
+                link_rows, config, default_crawler,
+                cache=persists is not None,
+            )
+            if cached is not None:
+                persists.append(cached)
+            out = fast_out.unionByName(
+                residue.mapInPandas(admitter, CANDIDATE_SCHEMA)
+            )
+        else:
+            out = link_rows.mapInPandas(admitter, CANDIDATE_SCHEMA)
         return out.unionByName(
             py_docs.mapInPandas(resolver, CANDIDATE_SCHEMA)
         )
@@ -1066,9 +1089,10 @@ class SparkCrawler:
                     n_targets_attr = attr_targets.count()
 
             # parse + canonicalize + classify ----------------------------
+            round_caches: list = []
             candidates = build_candidates(
                 parse_input, self.config, resolver, admitter,
-                self.resolver_mode,
+                self.resolver_mode, self.crawler_name, round_caches,
             )
 
             # in-batch dedup: first admission in fetch order wins --------
@@ -1130,6 +1154,8 @@ class SparkCrawler:
             # then reads a materialized scan instead of re-nesting the
             # whole round pipeline — keeps all cross-round plans flat
             admitted = admitted.localCheckpoint()
+            for c in round_caches:
+                c.unpersist()
 
             # seen delta --------------------------------------------------
             seen_delta = admitted.select(

@@ -255,3 +255,83 @@ class TestWikipediaConf:
         ]
         assert want == [(rows[0]["url"],
                          rows[0]["attributes"]["results"])]
+
+
+@have_ref
+class TestAudioConf:
+    def test_crawl(self, spark, tmp_path):
+        """conf/audio.conf: default.conf + an 'audio' target filetype
+        (12 extensions; mimetypes = {"audio/"} — a prefix entry the
+        reference's EXACT-match mime table can never hit, mime.c:
+        226-241 quirk, and audio.conf binds no "lookup" anyway)."""
+        cfg = _load("audio.conf")
+        web = SynthWeb(
+            docs=[
+                _html(
+                    "http://au1.test/index.html",
+                    '<a href="/music/song.mp3">m</a>'
+                    '<a href="/music/clip.OGG">o</a>'
+                    '<a href="/talks/old.ra">r</a>'
+                    '<a href="/page2.html">p</a>',
+                ),
+                _html(
+                    "http://au1.test/page2.html",
+                    '<a href="/music/b.aiff">a</a>'
+                    '<a href="/files/data.xyz">unknown->discard</a>',
+                ),
+            ],
+            seeds=["http://au1.test/index.html"],
+        )
+        oracle, engine, stats = _run_both(spark, web, cfg, tmp_path)
+        got = _targets(spark, engine)
+        want = sorted((t.url, t.filetype) for t in oracle.targets)
+        assert got == want
+        target_urls = {u for u, ft in got if ft == "audio"}
+        assert target_urls == {
+            "http://au1.test/music/song.mp3",
+            "http://au1.test/music/clip.OGG",
+            "http://au1.test/talks/old.ra",
+            "http://au1.test/music/b.aiff",
+        }
+        # the unknown extension fell through to unknown_url=discard
+        # but still occupies the seen set (admission-before-classify)
+        assert not any(
+            u == "http://au1.test/files/data.xyz" for u, _ in got
+        )
+        assert any("data.xyz" in k for k in oracle.seen)
+
+
+@have_ref
+class TestVideoConf:
+    def test_crawl(self, spark, tmp_path):
+        """conf/video.conf: default.conf + a 'video' target filetype."""
+        cfg = _load("video.conf")
+        web = SynthWeb(
+            docs=[
+                _html(
+                    "http://v1.test/index.html",
+                    '<a href="/v/intro.mov">m</a>'
+                    '<a href="/v/talk.avi">a</a>'
+                    '<a href="/v/feed.asx">x</a>'
+                    '<a href="/more.html">p</a>',
+                ),
+                _html(
+                    "http://v1.test/more.html",
+                    '<img src="/v/frame.mpeg"/>'
+                    '<a href="/v/clip.WMV">w</a>',
+                ),
+            ],
+            seeds=["http://v1.test/index.html"],
+        )
+        oracle, engine, stats = _run_both(spark, web, cfg, tmp_path)
+        got = _targets(spark, engine)
+        want = sorted((t.url, t.filetype) for t in oracle.targets)
+        assert got == want
+        target_urls = {u for u, ft in got if ft == "video"}
+        assert target_urls == {
+            "http://v1.test/v/intro.mov",
+            "http://v1.test/v/talk.avi",
+            "http://v1.test/v/feed.asx",
+            "http://v1.test/v/frame.mpeg",
+            "http://v1.test/v/clip.WMV",
+        }

@@ -234,3 +234,49 @@ class TestSeedGuessing:
         engine.run(bare_seeds)
         assert seen_of(engine) == oracle.seen
         assert len(oracle.fetched_urls) > 5
+
+
+class TestRedirectLoopCap:
+    def test_25_hop_chain_stops_at_20(self, spark):
+        """F9 end-to-end: a 25-hop 301 chain; the engine (and oracle)
+        revert each Location at the SAME depth (ue_revert,
+        urlengine.c:158-165) and drop the row at the 20th redirect
+        (worker.c:808) — so exactly hops 0..19 fetch and hop 20
+        never enters the frontier."""
+        from methanol_web_crawler_spark.config import default_config
+        from methanol_web_crawler_spark.oracle.crawler import (
+            OracleCrawler,
+        )
+        from methanol_web_crawler_spark.plans.crawl import SparkCrawler
+        from methanol_web_crawler_spark.sources.synthweb import (
+            SynthDoc,
+            SynthWeb,
+        )
+
+        n = 25
+        docs = [
+            SynthDoc(
+                f"http://r.test/hop{i}.html", [], "text/html",
+                status=301,
+                location=f"http://r.test/hop{i + 1}.html",
+            )
+            for i in range(n)
+        ] + [SynthDoc(f"http://r.test/hop{n}.html",
+                      [("text", "end", None, 0)], "text/html")]
+        web = SynthWeb(docs=docs, seeds=["http://r.test/hop0.html"])
+        cfg = default_config()
+        oracle = OracleCrawler(web.doc_map, cfg).run(web.seeds)
+        engine = SparkCrawler(
+            spark, web.to_spark(spark), cfg, politeness_budget=0,
+        )
+        stats = engine.run(web.seeds)
+        # hops 0..19 fetch (20 fetches), hop20 dropped by the cap
+        assert len(oracle.fetched_urls) == 20
+        assert stats.fetched == 20
+        assert oracle.fetched_urls[-1] == "http://r.test/hop19.html"
+        assert not any("hop20" in k for k in oracle.seen)
+        seen = {
+            r["seen_key"]
+            for r in engine._final_seen.select("seen_key").collect()
+        }
+        assert seen == oracle.seen
