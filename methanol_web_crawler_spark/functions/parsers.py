@@ -508,6 +508,74 @@ def meta_attrs(text: str):
     return extract_anchor_hrefs(text), attrs
 
 
+def source_attrs(text: str):
+    """scripts/misc.js:14-17 ``source()`` analog: print(this.data) ->
+    attribute "source"; returns undefined in the reference, so no
+    links."""
+    return [], {"source": text}
+
+
+def xmlsource_attrs(text: str):
+    """scripts/misc.js:4-9 ``xmlsource()`` analog: runs after xmlconv
+    in conf/xmlsource.conf, so the buffer IS the XML serialization the
+    reference prints; links are ``xml..a.@href``."""
+    return extract_anchor_hrefs(text), {"xmlsource": text}
+
+
+def validator_attrs(text: str):
+    """scripts/validate.js ``validator()`` analog. The reference GETs
+    http://validator.w3.org/check for each page — an external service
+    call this sandbox cannot make, so the error/warning counts are a
+    clearly-marked DETERMINISTIC FAKE keyed on the content (the same
+    honest-stub convention as the media codecs, operators/media.py);
+    the local half (link extraction ``xml..a.@href``) is real."""
+    h = 0
+    for ch in text:
+        h = (h * 31 + ord(ch)) & 0x7FFFFFFF
+    attrs = {
+        "validator": (
+            f"Errors: {h % 7}\nWarnings: {(h >> 3) % 13}\n"
+            "(deterministic fake: validator.w3.org is not reachable "
+            "from this engine; counts are a content-keyed stub)"
+        )
+    }
+    return extract_anchor_hrefs(text), attrs
+
+
+_YT_DIV_RE = re.compile(r"<div\s[^>]*>.*?</div", re.S)
+
+
+def youtube_results(text: str):
+    """scripts/youtube.js ``youtube()`` analog: for each
+    <div class="video-long-title">, print the first <a>'s title and
+    absolute URL; returns undefined (no links). Printed lines route
+    through the declared attribute ``videos``."""
+    lines = []
+    for div in _YT_DIV_RE.findall(text):
+        head = div[: div.find(">") + 1]
+        cm = _CLASS_RE.search(head)
+        if not cm or cm.group(1) != "video-long-title":
+            continue
+        tag = _A_TAG_RE.search(div)
+        if not tag:
+            continue
+        tm = _TITLE_ATTR_RE.search(tag.group(0))
+        hm = _HREF_RE.search(tag.group(0))
+        if tm and hm:
+            lines.append(tm.group(1))
+            lines.append("http://www.youtube.com" + hm.group(1))
+    return [], ({"videos": "\n".join(lines)} if lines else {})
+
+
+def youtube_search_init(args):
+    """scripts/youtube.js:1-10 ``init()``."""
+    return [
+        f"http://www.youtube.com/results?search_query={x}"
+        "&search_type=&aq=f"
+        for x in args
+    ]
+
+
 def _register_builtins():
     from .ftplist import extract_ftp_links
     from .xmlconv import html_to_xml
@@ -531,6 +599,14 @@ def _register_builtins():
     register_init(
         "wikipedia.js/wikipedia_search_init", wikipedia_search_init
     )
+    # remaining shipped-script analogs (conf/source.conf,
+    # xmlsource.conf, validate.conf, youtube.conf)
+    register_parser("misc.js/source", source_attrs, "attrs")
+    register_parser("misc.js/xmlsource", xmlsource_attrs, "attrs")
+    register_parser("html.js/html", extract_anchor_hrefs, "extract")
+    register_parser("validate.js/validator", validator_attrs, "attrs")
+    register_parser("youtube.js/youtube", youtube_results, "attrs")
+    register_init("youtube.js/init", youtube_search_init)
 
 
 _register_builtins()

@@ -335,3 +335,138 @@ class TestVideoConf:
             "http://v1.test/v/frame.mpeg",
             "http://v1.test/v/clip.WMV",
         }
+
+
+def _attr_rows(spark, engine):
+    adf = engine.store.table("attr_targets").read_until(spark)
+    if adf is None:
+        return []
+    return sorted(
+        (r["url"], tuple(sorted(r["attributes"].items())))
+        for r in adf.collect()
+    )
+
+
+def _want_attr_rows(oracle):
+    return sorted(
+        (t.url, tuple(sorted(t.attributes.items())))
+        for t in oracle.targets
+        if t.attributes
+    )
+
+
+@have_ref
+class TestSourceConf:
+    def test_crawl(self, spark, tmp_path):
+        """conf/source.conf: chain 'misc.js/source, xmlconv,
+        html.js/html' — the RAW buffer lands in the 'source'
+        attribute (print(this.data)), then xmlconv rewrites and the
+        E4X html() analog extracts anchor hrefs only."""
+        cfg = _load("source.conf", attrs={"html": ("source",)})
+        raw = ('<HTML><A HREF="/next.html">n</A>'
+               "<img src='/pic.jpg'></HTML>")
+        web = SynthWeb(
+            docs=[
+                _html("http://s1.test/index.html", raw),
+                _html("http://s1.test/next.html", "<p>end</p>"),
+            ],
+            seeds=["http://s1.test/index.html"],
+        )
+        oracle, engine, stats = _run_both(spark, web, cfg, tmp_path)
+        got = _attr_rows(spark, engine)
+        assert got == _want_attr_rows(oracle)
+        by_url = dict(got)
+        # attribute holds the RAW pre-xmlconv buffer
+        assert dict(by_url["http://s1.test/index.html"])["source"] == raw
+        # html.js/html follows anchors ONLY (img src not followed)
+        fetched = set(oracle.fetched_urls)
+        assert "http://s1.test/next.html" in fetched
+        assert not any("pic.jpg" in k for k in oracle.seen)
+
+
+@have_ref
+class TestXmlsourceConf:
+    def test_crawl(self, spark, tmp_path):
+        """conf/xmlsource.conf: 'xmlconv, misc.js/xmlsource' — the
+        attribute is the CONVERTED buffer (the XML serialization the
+        reference prints), links are xml..a.@href."""
+        from methanol_web_crawler_spark.functions.xmlconv import (
+            html_to_xml,
+        )
+
+        cfg = _load("xmlsource.conf", attrs={"html": ("xmlsource",)})
+        raw = '<HTML><A HREF="/two.html">t</A></HTML>'
+        web = SynthWeb(
+            docs=[
+                _html("http://x1.test/index.html", raw),
+                _html("http://x1.test/two.html", "<p>end</p>"),
+            ],
+            seeds=["http://x1.test/index.html"],
+        )
+        oracle, engine, stats = _run_both(spark, web, cfg, tmp_path)
+        got = _attr_rows(spark, engine)
+        assert got == _want_attr_rows(oracle)
+        by_url = dict(got)
+        assert dict(by_url["http://x1.test/index.html"])[
+            "xmlsource"
+        ] == html_to_xml(raw)
+        assert "http://x1.test/two.html" in set(oracle.fetched_urls)
+
+
+@have_ref
+class TestValidateConf:
+    def test_crawl(self, spark, tmp_path):
+        """conf/validate.conf: 'xmlconv, validate.js/validator' — the
+        W3C check is an external service, so the counts are the
+        content-keyed deterministic fake (honest-stub convention);
+        links (xml..a.@href) are real."""
+        cfg = _load("validate.conf", attrs={"html": ("validator",)})
+        web = SynthWeb(
+            docs=[
+                _html("http://w1.test/index.html",
+                      '<a href="/p2.html">p</a>'),
+                _html("http://w1.test/p2.html", "<p>end</p>"),
+            ],
+            seeds=["http://w1.test/index.html"],
+        )
+        oracle, engine, stats = _run_both(spark, web, cfg, tmp_path)
+        got = _attr_rows(spark, engine)
+        assert got == _want_attr_rows(oracle)
+        by_url = dict(got)
+        v = dict(by_url["http://w1.test/index.html"])["validator"]
+        assert v.startswith("Errors: ")
+        assert "deterministic fake" in v
+        assert "http://w1.test/p2.html" in set(oracle.fetched_urls)
+
+
+@have_ref
+class TestYoutubeConf:
+    def test_search_crawl(self, spark, tmp_path):
+        """conf/youtube.conf: init builds search URLs from args
+        (youtube.js:1-10); the parser prints title+absolute URL per
+        <div class="video-long-title"> (routed through the declared
+        'videos' attribute) and follows no links."""
+        cfg = _load("youtube.conf", attrs={"html": ("videos",)})
+        search_url = (
+            "http://www.youtube.com/results?search_query=cats"
+            "&search_type=&aq=f"
+        )
+        body = (
+            '<div class="video-long-title">'
+            '<a title="Funny Cats" href="/watch?v=abc123">x</a></div>'
+            '<div class="other"><a title="no" href="/no">n</a></div>'
+            '<div class="video-long-title">'
+            '<a title="More Cats" href="/watch?v=def456">y</a></div>'
+        )
+        web = SynthWeb(
+            docs=[_html(search_url, body)],
+            seeds=["cats"],  # init-fn args, not URLs
+        )
+        oracle, engine, stats = _run_both(spark, web, cfg, tmp_path)
+        assert stats.fetched == 1
+        got = _attr_rows(spark, engine)
+        assert got == _want_attr_rows(oracle)
+        assert dict(dict(got)[search_url])["videos"] == (
+            "Funny Cats\nhttp://www.youtube.com/watch?v=abc123\n"
+            "More Cats\nhttp://www.youtube.com/watch?v=def456"
+        )
