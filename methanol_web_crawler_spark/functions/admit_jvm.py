@@ -75,12 +75,6 @@ _PRINTABLE_FULL = "^[\\x21-\\x7f]+\\z"
 _ASCII_FULL = "^[\\x00-\\x7f]*\\z"
 
 
-def _rfind(col: Column, ch: str) -> Column:
-    """0-based index of the LAST occurrence of ``ch``, -1 if absent."""
-    rpos = F.instr(F.reverse(col), ch)
-    return F.when(rpos > 0, F.length(col) - rpos).otherwise(F.lit(-1))
-
-
 def _ext_match_map(idx: FtIndex) -> Dict[str, str]:
     """ext-string -> filetype for every string that can match the
     16-bucket prefix-compare lookup (see module docstring). Valid only
