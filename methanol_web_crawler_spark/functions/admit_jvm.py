@@ -258,6 +258,27 @@ def split_fast_admit(
     proto_typed = F.regexp_extract(href, "^([A-Za-z0-9]*):", 1)
     known = F.lower(proto_typed).isin(list(PROTOCOLS))
 
+    if not fast_crawlers:
+        # Every crawler carries a UMEX expression (full-URL matching,
+        # e.g. a wikipedia.conf-style config): no link is
+        # JVM-admittable. Route everything to the exact Python
+        # admitter — still applying the exact unknown-protocol drop
+        # (url.c:188-192 via ue_add) — and return a valid empty
+        # CANDIDATE_SCHEMA frame for the fast side. Without this, the
+        # _per_crawler dispatch below would build no branch and crash
+        # at plan build.
+        from .udfs import CANDIDATE_SCHEMA
+
+        residue = link_rows.filter(nonempty & ~(abs_form & ~known))
+        cached = None
+        if cache:
+            residue = residue.persist()
+            cached = residue
+        fast_out = link_rows.sparkSession.createDataFrame(
+            [], CANDIDATE_SCHEMA
+        )
+        return fast_out, residue, cached
+
     def lad(df: DataFrame, **cols: Column) -> DataFrame:
         """One ladder rung: materialize expressions as NAMED columns.
 

@@ -616,10 +616,11 @@ class SparkCrawler:
 
         # collision numbering follows the DETERMINISTIC crawl sort key,
         # not fetch_ord: with strict_order=False fetch_ord is
-        # monotonically_increasing_id over an unsorted frame, so
-        # partition layout would decide which same-base URL gets
-        # "page0.html" vs "page0-1.html" (the reference's stat() loop
-        # runs in its strict crawl order, builtin.c:112-117)
+        # xxhash64(url) — layout-invariant but in ARBITRARY order, so
+        # ordering by it would assign "page0.html" vs "page0-1.html"
+        # by hash accident; the reference's stat() loop runs in its
+        # strict crawl order (builtin.c:112-117), which the explicit
+        # sort key reproduces
         wn = Window.partitionBy("base").orderBy(*_SORT_COLS)
         named = (
             wfb.withColumn("rn", F.row_number().over(wn))

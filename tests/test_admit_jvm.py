@@ -91,3 +91,95 @@ class TestExtMatchMap:
         }
         for e in probes:
             assert emap.get(e) == by_ext_ref(e), e
+
+
+class TestAllUmexConfig:
+    """Regression (round-4 ADVICE): when EVERY crawler carries a UMEX
+    expression (full-URL matching — the wikipedia.conf shape),
+    fast_crawlers is empty and split_fast_admit used to crash at plan
+    build (_per_crawler returned None). It must instead route all
+    links to the Python admitter and stay oracle-equivalent."""
+
+    @staticmethod
+    def _umex_config():
+        from dataclasses import replace
+
+        cfg = default_config()
+        return replace(
+            cfg,
+            filetypes=tuple(
+                replace(f, expr="PATH<*>") for f in cfg.filetypes
+            ),
+        )
+
+    def test_empty_fast_side_routes_all_to_residue(self, spark):
+        cfg = self._umex_config()
+        links = _link_rows(
+            spark, FAST_HREFS + RESIDUE_HREFS + DROP_HREFS
+        )
+        fast, residue, cached = split_fast_admit(
+            links, cfg, "default"
+        )
+        assert cached is None
+        assert fast.count() == 0
+        from methanol_web_crawler_spark.functions.udfs import (
+            CANDIDATE_SCHEMA,
+        )
+
+        assert [f.name for f in fast.schema.fields] == [
+            f.name for f in CANDIDATE_SCHEMA.fields
+        ]
+        got = {r["href"] for r in residue.collect()}
+        # the exact unknown-protocol drop still applies JVM-side
+        assert got == set(FAST_HREFS) | set(RESIDUE_HREFS)
+
+    def test_cache_contract_holds(self, spark):
+        cfg = self._umex_config()
+        links = _link_rows(spark, FAST_HREFS)
+        fast, residue, cached = split_fast_admit(
+            links, cfg, "default", cache=True
+        )
+        assert cached is not None
+        assert residue.count() == len(FAST_HREFS)
+        cached.unpersist()
+
+    def test_jvm_mode_matches_scalar_end_to_end(self, spark):
+        """build_candidates in jvm mode (the crashing entry path) vs
+        the scalar resolver under the all-UMEX config."""
+        import pandas as pd
+
+        from methanol_web_crawler_spark.functions.udfs import (
+            CANDIDATE_SCHEMA,
+            make_link_admitter,
+            make_link_resolver_scalar,
+        )
+        from methanol_web_crawler_spark.plans.crawl import (
+            build_candidates,
+        )
+        from tests.test_resolver_vec_diff import _page_row, _span
+
+        cfg = self._umex_config()
+        body = "".join(
+            f'<a href="{h}">t</a>'
+            for h in FAST_HREFS + RESIDUE_HREFS + DROP_HREFS
+        )
+        rows = [
+            _page_row(
+                "http://h1.example.com/p/x.html", "html",
+                [_span(body)],
+            )
+        ]
+        pdf = pd.DataFrame(rows, columns=IN_COLS)
+        df = spark.createDataFrame(pdf, IN_SCHEMA)
+        resolver = make_link_resolver_scalar(cfg, "default")
+        admitter = make_link_admitter(cfg, "default")
+        cols = sorted(f.name for f in CANDIDATE_SCHEMA.fields)
+
+        def cands(mode):
+            out = build_candidates(df, cfg, resolver, admitter, mode)
+            return sorted(
+                (tuple(r[c] for c in cols) for r in out.collect()),
+                key=lambda t: tuple(str(x) for x in t),
+            )
+
+        assert cands("jvm") == cands("scalar")
