@@ -421,11 +421,31 @@ def main():
     )
     n_lo = max(1, LEVELS[0] // EXECUTOR_CORES)
     n_hi = max(1, LEVELS[1] // EXECUTOR_CORES)
+    # Mechanical probe-gate verdict, written WITH the run (round-4
+    # lesson: nine sick-probe runs were recorded as plain BELOW and
+    # had to be adjudicated after the fact). Gates = the hunter's
+    # firing gates; a flagged run is DISCARDED pending written
+    # adjudication, a clean run stands on its own.
+    violations = [
+        f"{r['cpus']}c {k.split('_')[1]} {r[k]}s > {lim}s"
+        for r in results
+        for k, lim in (("probe_copy_s", 4.0), ("probe_copy4_s", 10.0))
+        if r.get(k, 0) > lim
+    ]
+    probe_verdict = (
+        "probe-clean (hunter gates: copy < 4 s, copy4 < 10 s at both"
+        " levels)" if not violations
+        else "PROBE-GATE FLAGGED — DISCARD pending adjudication ("
+        + "; ".join(violations) + ")"
+    )
+    resolver = os.environ.get("METHANOL_RESOLVER", "scalar")
+    stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     out = {
         "mode": "steady-state mega-round",
         "n_docs": N_DOCS,
         "n_hosts": N_HOSTS,
         "bloom": BLOOM,
+        "resolver_mode": resolver,
         "executors": [n_lo, n_hi],
         "executor_cores": EXECUTOR_CORES,
         "levels": results,
@@ -435,6 +455,7 @@ def main():
         f"local-cluster[{n_hi},{EXECUTOR_CORES}]: N vs 4N real "
         "executor JVMs)",
         "passes": eff >= 0.8,
+        "probe_clean": not violations,
     }
     print(json.dumps(out))
 
@@ -444,7 +465,9 @@ def main():
             f"\n## Steady-state mega-round scaling "
             f"({N_DOCS} docs / {N_HOSTS} hosts, frontier = every "
             f"{FRONTIER_EVERY}th URL, {n_lo} vs {n_hi} executor JVMs "
-            f"x {EXECUTOR_CORES} cores)\n\n"
+            f"x {EXECUTOR_CORES} cores) "
+            f"[{stamp}, resolver={resolver}"
+            f"{', bloom' if BLOOM else ''}]\n\n"
             "One BSP crawl round (politeness + robots + fetch join + "
             "parse/canonicalize/classify + dedup + anti-join + routing)"
             " over the same frontier at both executor counts "
@@ -474,7 +497,8 @@ def main():
         f.write(
             f"\nscaling efficiency (tput@{LEVELS[1]} / "
             f"tput@{LEVELS[0]}) / 4 = **{eff:.3f}** — "
-            f"{'PASS' if eff >= 0.8 else 'BELOW'} the ≥0.8 criterion.\n"
+            f"{'PASS' if eff >= 0.8 else 'BELOW'} the ≥0.8 criterion. "
+            f"Probe verdict: {probe_verdict}.\n"
         )
 
 
