@@ -266,6 +266,7 @@ class SparkCrawler:
         fetcher=None,
         seen_compact_every: int = 8,
         resolver_mode: Optional[str] = None,
+        auto_jvm_threshold: Optional[int] = None,
         hooks=None,
     ):
         self.spark = spark
@@ -338,10 +339,24 @@ class SparkCrawler:
         self.fetcher = fetcher
         # resolver mode: explicit param > METHANOL_RESOLVER env >
         # scalar (measured fastest of the pandas paths on this host;
-        # "jvm" moves extraction into codegen — see build_candidates)
+        # "jvm" moves extraction into codegen — see build_candidates).
+        # "auto" picks per ROUND by wave size: the measured record
+        # (BENCH/BASELINE.md round 4) is jvm 214 s vs scalar 228 s on
+        # the 7.36M-row mega-round (26.1M links) but jvm 69 s vs
+        # scalar 28 s across 12 sf0.1 rounds — jvm carries ~3.4 s of
+        # fixed per-round plan/driver cost and wins ~0.67 us/link at
+        # the margin, so breakeven sits near 5M links ~ 1.5M wave
+        # rows. Below the threshold the wave runs the scalar machine,
+        # at/above it the JVM extract+admit path — the configuration
+        # a 100 TB deployment gets out of the box without tuning.
         self.resolver_mode = resolver_mode or os.environ.get(
             "METHANOL_RESOLVER", "scalar"
         )
+        self.auto_jvm_threshold = auto_jvm_threshold if (
+            auto_jvm_threshold is not None
+        ) else int(os.environ.get(
+            "METHANOL_JVM_AUTO_THRESHOLD", "1500000"
+        ))
         self.store = SnapshotStore(state_dir) if state_dir else None
         # session lifecycle hooks (mn-slaved analog, plans/hooks.py):
         # session-complete runs between the 'hook' and 'done' session
@@ -863,10 +878,12 @@ class SparkCrawler:
 
         self._append_session("running", stats, start_round)
         head_classify = make_head_classifier(self.config, self.crawler_name)
-        if self.resolver_mode == "jvm":
+        if self.resolver_mode in ("jvm", "auto"):
             from ..functions.udfs import make_link_resolver_scalar
 
-            # residue documents take the exact per-row machine
+            # jvm rounds feed it residue rows only; auto's
+            # below-threshold rounds feed it whole documents — the
+            # same exact per-row machine serves both
             resolver = make_link_resolver_scalar(
                 self.config, self.crawler_name
             )
@@ -907,6 +924,17 @@ class SparkCrawler:
                         r, collect_lineage=False,
                     )
                 continue
+
+            # effective resolver mode this round: "auto" gates the
+            # JVM extract+admit path on wave size (see __init__ —
+            # breakeven from the measured per-round fixed cost vs
+            # per-link margin sits near 1.5M wave rows)
+            mode_r = self.resolver_mode
+            if mode_r == "auto":
+                mode_r = (
+                    "jvm" if n_pending >= self.auto_jvm_threshold
+                    else "scalar"
+                )
 
             if self.serial:
                 wser = Window.orderBy(*_SORT_COLS)
@@ -1093,7 +1121,7 @@ class SparkCrawler:
             round_caches: list = []
             candidates = build_candidates(
                 parse_input, self.config, resolver, admitter,
-                self.resolver_mode, self.crawler_name, round_caches,
+                mode_r, self.crawler_name, round_caches,
             )
 
             # in-batch dedup: first admission in fetch order wins --------
@@ -1292,6 +1320,8 @@ class SparkCrawler:
                     "admitted": int(n_admitted),
                     "targets": int(n_targets) + int(n_targets_attr),
                     "selected": int(n_fetched),
+                    "pending": int(n_pending),
+                    "resolver_mode": mode_r,
                 }
                 if n_bloom_new is not None:
                     # exact-join probe volume saved by the bloom layer
