@@ -183,3 +183,65 @@ class TestAllUmexConfig:
             )
 
         assert cands("jvm") == cands("scalar")
+
+
+class TestResidueWebCrawl:
+    """End-to-end jvm-mode crawl whose plan exercises BOTH admission
+    branches (VERDICT r4 #5): the synthetic mega-corpus is 100%
+    fast-shape so the Python residue branch was only unit-fuzzed;
+    this web (entryqueries._residue_web, also the driver entry
+    crawl_residue_jvm) straddles the fast-shape grammar on purpose."""
+
+    def test_both_branches_nonempty(self, spark):
+        from methanol_web_crawler_spark.entryqueries import (
+            _residue_web,
+        )
+        from methanol_web_crawler_spark.functions.udfs import (
+            make_link_resolver_scalar,
+        )
+
+        cfg = default_config()
+        web = _residue_web()
+        body = "".join(
+            s[1] for d in web.docs for s in d.spans if s[0] == "text"
+        )
+        rows = [
+            _page_row("http://r1.test/d/index.html", "html",
+                      [_span(body)])
+        ]
+        pdf = pd.DataFrame(rows, columns=IN_COLS)
+        df = spark.createDataFrame(pdf, IN_SCHEMA)
+        links = split_jvm_extractable(df, cfg)[0]
+        fast, residue, _ = split_fast_admit(links, cfg, "default")
+        n_fast, n_residue = fast.count(), residue.count()
+        assert n_fast > 0 and n_residue > 0
+        # the residue shapes: dot-leading, ..-pop, entity-& query,
+        # fragment, explicit port (the %-escape is fast-shape: the
+        # JVM canonicalizer preserves escapes verbatim)
+        assert n_residue >= 5
+
+    def test_jvm_crawl_matches_oracle(self, spark, tmp_path):
+        from methanol_web_crawler_spark.entryqueries import (
+            _residue_web,
+        )
+        from methanol_web_crawler_spark.oracle.crawler import (
+            OracleCrawler,
+        )
+        from methanol_web_crawler_spark.plans.crawl import SparkCrawler
+
+        cfg = default_config()
+        web = _residue_web()
+        oracle = OracleCrawler(
+            web.doc_map, cfg, politeness_budget=0
+        ).run(web.seeds)
+        engine = SparkCrawler(
+            spark, web.to_spark(spark), cfg, politeness_budget=0,
+            state_dir=str(tmp_path), resolver_mode="jvm",
+        )
+        stats = engine.run(web.seeds)
+        assert stats.fetched == sum(len(r) for r in oracle.rounds)
+        seen = {
+            r["seen_key"]
+            for r in engine._final_seen.select("seen_key").collect()
+        }
+        assert seen == oracle.seen
