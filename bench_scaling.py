@@ -438,7 +438,7 @@ def main():
         else "PROBE-GATE FLAGGED — DISCARD pending adjudication ("
         + "; ".join(violations) + ")"
     )
-    resolver = os.environ.get("METHANOL_RESOLVER", "scalar")
+    resolver = os.environ.get("METHANOL_RESOLVER", "auto")
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     out = {
         "mode": "steady-state mega-round",

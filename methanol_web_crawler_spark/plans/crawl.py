@@ -190,7 +190,13 @@ def build_candidates(
       METHANOL_JVM_ADMIT=0 keeps the all-Python admitter selectable
       for A/B runs.
     - "scalar"/"vec": the whole document goes through the chosen
-      mapInPandas resolver."""
+      mapInPandas resolver.
+
+    Callers pass a RESOLVED per-round mode ("jvm"/"scalar"/"vec");
+    the engine default "auto" (SparkCrawler._loop) resolves to jvm
+    for waves at or past the measured ~1.5M-row crossover and scalar
+    below it, so clusters run the codegen path and tiny test crawls
+    keep the cheap one without configuration."""
     from ..functions.udfs import CANDIDATE_SCHEMA
 
     if mode == "jvm":
@@ -338,9 +344,11 @@ class SparkCrawler:
         # the docs table (pass real robots docs there, or none)
         self.fetcher = fetcher
         # resolver mode: explicit param > METHANOL_RESOLVER env >
-        # scalar (measured fastest of the pandas paths on this host;
-        # "jvm" moves extraction into codegen — see build_candidates).
-        # "auto" picks per ROUND by wave size: the measured record
+        # auto (the deployment default — scalar measured fastest of
+        # the pandas paths at small waves, "jvm" moves extraction
+        # into codegen and wins at cluster scale; see
+        # build_candidates). "auto" picks per ROUND by wave size: the
+        # measured record
         # (BENCH/BASELINE.md round 4) is jvm 214 s vs scalar 228 s on
         # the 7.36M-row mega-round (26.1M links) but jvm 69 s vs
         # scalar 28 s across 12 sf0.1 rounds — jvm carries ~3.4 s of
@@ -350,7 +358,7 @@ class SparkCrawler:
         # at/above it the JVM extract+admit path — the configuration
         # a 100 TB deployment gets out of the box without tuning.
         self.resolver_mode = resolver_mode or os.environ.get(
-            "METHANOL_RESOLVER", "scalar"
+            "METHANOL_RESOLVER", "auto"
         )
         self.auto_jvm_threshold = auto_jvm_threshold if (
             auto_jvm_threshold is not None
