@@ -432,11 +432,23 @@ def main():
         for k, lim in (("probe_copy_s", 4.0), ("probe_copy4_s", 10.0))
         if r.get(k, 0) > lim
     ]
+    # the STRICT healthy band the hunter's header registers (copy
+    # ~1.3-2.2 s, copy4 ~2-5 s): a run can pass the firing gates yet
+    # sit outside the band — record both so adjudication is mechanical
+    strict_viol = [
+        f"{r['cpus']}c {k.split('_')[1]} {r[k]}s > {lim}s"
+        for r in results
+        for k, lim in (("probe_copy_s", 2.2), ("probe_copy4_s", 5.0))
+        if r.get(k, 0) > lim
+    ]
     probe_verdict = (
-        "probe-clean (hunter gates: copy < 4 s, copy4 < 10 s at both"
-        " levels)" if not violations
-        else "PROBE-GATE FLAGGED — DISCARD pending adjudication ("
-        + "; ".join(violations) + ")"
+        "PROBE-GATE FLAGGED — DISCARD pending adjudication ("
+        + "; ".join(violations) + ")" if violations
+        else "probe-clean, INSIDE the strict healthy band (copy < "
+        "2.2 s, copy4 < 5 s at both levels)" if not strict_viol
+        else "probe-clean at the firing gates but OUTSIDE the strict"
+        " healthy band (" + "; ".join(strict_viol) + ") — treat as"
+        " degraded-window evidence"
     )
     resolver = os.environ.get("METHANOL_RESOLVER", "auto")
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
@@ -456,6 +468,7 @@ def main():
         "executor JVMs)",
         "passes": eff >= 0.8,
         "probe_clean": not violations,
+        "strict_band": not (violations or strict_viol),
     }
     print(json.dumps(out))
 
