@@ -157,15 +157,17 @@ def host_probe() -> dict:
     return bench_scaling.host_probe()
 
 
-# gate thresholds from scripts/scaling_hunter.sh: beyond these the
-# fabric is saturated by neighbors and walls measure the host
-_PROBE_COPY_MAX = 4.0
-_PROBE_COPY4_MAX = 10.0
-
-
 def _probe_ok(p: dict) -> bool:
-    return (p["probe_copy_s"] < _PROBE_COPY_MAX
-            and p["probe_copy4_s"] < _PROBE_COPY4_MAX)
+    """Firing-gate health (bench_scaling.PROBE_FIRE_* — the single
+    source of truth): beyond these the fabric is saturated by
+    neighbors and walls measure the host."""
+    argv, sys.argv = sys.argv, [sys.argv[0]]
+    try:
+        import bench_scaling as B
+    finally:
+        sys.argv = argv
+    return (p["probe_copy_s"] < B.PROBE_FIRE_COPY_MAX
+            and p["probe_copy4_s"] < B.PROBE_FIRE_COPY4_MAX)
 
 
 def main():

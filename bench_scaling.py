@@ -288,6 +288,17 @@ def _copy_worker(q):
     q.put(time.time() - t0)
 
 
+# Probe gates — the SINGLE source of truth (bench.py and the hunter
+# scripts read these; keep the BASELINE.md verdict strings in sync).
+# FIRE = the loose firing gates attempts use; STRICT = the healthy
+# band a run's own per-level probes must sit inside to count as
+# clean-window evidence (see BENCH/BASELINE.md round-4/5 closings).
+PROBE_FIRE_COPY_MAX = 4.0
+PROBE_FIRE_COPY4_MAX = 10.0
+PROBE_STRICT_COPY_MAX = 2.2
+PROBE_STRICT_COPY4_MAX = 5.0
+
+
 def host_probe() -> dict:
     """Host calibration, run right before each level: single-thread
     CPU, single-stream copy, AND 4-stream aggregate copy. The VM's
@@ -429,16 +440,17 @@ def main():
     violations = [
         f"{r['cpus']}c {k.split('_')[1]} {r[k]}s > {lim}s"
         for r in results
-        for k, lim in (("probe_copy_s", 4.0), ("probe_copy4_s", 10.0))
+        for k, lim in (("probe_copy_s", PROBE_FIRE_COPY_MAX),
+                       ("probe_copy4_s", PROBE_FIRE_COPY4_MAX))
         if r.get(k, 0) > lim
     ]
-    # the STRICT healthy band the hunter's header registers (copy
-    # ~1.3-2.2 s, copy4 ~2-5 s): a run can pass the firing gates yet
+    # the STRICT healthy band: a run can pass the firing gates yet
     # sit outside the band — record both so adjudication is mechanical
     strict_viol = [
         f"{r['cpus']}c {k.split('_')[1]} {r[k]}s > {lim}s"
         for r in results
-        for k, lim in (("probe_copy_s", 2.2), ("probe_copy4_s", 5.0))
+        for k, lim in (("probe_copy_s", PROBE_STRICT_COPY_MAX),
+                       ("probe_copy4_s", PROBE_STRICT_COPY4_MAX))
         if r.get(k, 0) > lim
     ]
     probe_verdict = (

@@ -150,20 +150,26 @@ def robots_gate_expr() -> "F.Column":
     )
 
 
-def split_wave(pending: DataFrame) -> Tuple[int, int, DataFrame, DataFrame]:
-    """Q1 ue_next round selection: one driver agg for (count, min
-    depth), then the BSP wave is the min-depth slice of the frontier
-    (ue.c's depth-ordered next_url analog). Returns
-    (n_pending, depth, elig, rest)."""
-    agg = pending.agg(
-        F.count("*").alias("n"), F.min("depth").alias("d")
-    ).first()
-    n_pending, d = agg["n"], agg["d"]
-    if not n_pending:
-        return 0, -1, pending.limit(0), pending.limit(0)
+def split_wave(
+    pending: DataFrame,
+) -> Tuple[int, int, int, DataFrame, DataFrame]:
+    """Q1 ue_next round selection: one driver agg (per-depth counts,
+    a handful of rows), then the BSP wave is the min-depth slice of
+    the frontier (ue.c's depth-ordered next_url analog). Returns
+    (n_pending, depth, n_wave, elig, rest) — n_pending counts the
+    whole frontier (loop-termination signal), n_wave counts only the
+    min-depth slice that actually feeds this round (the auto resolver
+    gate reads it; the total would overcount multi-depth backlogs)."""
+    rows = pending.groupBy("depth").agg(
+        F.count("*").alias("n")
+    ).collect()
+    if not rows:
+        return 0, -1, 0, pending.limit(0), pending.limit(0)
+    d = min(r["depth"] for r in rows)
     return (
-        n_pending,
+        sum(r["n"] for r in rows),
         d,
+        next(r["n"] for r in rows if r["depth"] == d),
         pending.filter(F.col("depth") == d),
         pending.filter(F.col("depth") != d),
     )
@@ -915,7 +921,7 @@ class SparkCrawler:
 
         r = start_round
         while r < self.max_rounds:
-            n_pending, d, elig, rest = split_wave(pending)
+            n_pending, d, n_wave, elig, rest = split_wave(pending)
             if n_pending == 0:
                 if parked is None or parked.isEmpty():
                     break
@@ -934,13 +940,14 @@ class SparkCrawler:
                 continue
 
             # effective resolver mode this round: "auto" gates the
-            # JVM extract+admit path on wave size (see __init__ —
-            # breakeven from the measured per-round fixed cost vs
-            # per-link margin sits near 1.5M wave rows)
+            # JVM extract+admit path on the size of THIS round's wave
+            # (the min-depth slice — not the whole frontier, which
+            # overcounts multi-depth backlogs; see __init__ for the
+            # measured ~1.5M-row breakeven)
             mode_r = self.resolver_mode
             if mode_r == "auto":
                 mode_r = (
-                    "jvm" if n_pending >= self.auto_jvm_threshold
+                    "jvm" if n_wave >= self.auto_jvm_threshold
                     else "scalar"
                 )
 
@@ -1329,6 +1336,7 @@ class SparkCrawler:
                     "targets": int(n_targets) + int(n_targets_attr),
                     "selected": int(n_fetched),
                     "pending": int(n_pending),
+                    "wave": int(n_wave),
                     "resolver_mode": mode_r,
                 }
                 if n_bloom_new is not None:

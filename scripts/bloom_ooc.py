@@ -22,9 +22,9 @@ import os
 import sys
 import time
 
-sys.path.insert(
-    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.chdir(_REPO)  # BENCH/BASELINE.md append is repo-relative
 
 MEM_MB = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 CORES = int(sys.argv[2]) if len(sys.argv) > 2 else 8

@@ -11,19 +11,26 @@
 cd /root/repo || exit 1
 PASSES=0
 ATTEMPT=0
+POLL=0
 MAX_ATTEMPTS=${MAX_ATTEMPTS:-12}
-while [ "$PASSES" -lt 2 ] && [ "$ATTEMPT" -lt "$MAX_ATTEMPTS" ]; do
+# MAX_POLLS bounds the wait-for-window loop: a host stuck outside the
+# firing gates can otherwise spin this script forever
+MAX_POLLS=${MAX_POLLS:-120}
+while [ "$PASSES" -lt 2 ] && [ "$ATTEMPT" -lt "$MAX_ATTEMPTS" ] && [ "$POLL" -lt "$MAX_POLLS" ]; do
+  POLL=$((POLL+1))
   PROBE=$(python - <<'EOF'
 import sys
 sys.argv = ["probe"]
 import bench_scaling as B
 p = B.host_probe()
-print(f"{p['probe_copy_s']} {p['probe_copy4_s']}")
+ok = int(p["probe_copy_s"] < B.PROBE_FIRE_COPY_MAX
+         and p["probe_copy4_s"] < B.PROBE_FIRE_COPY4_MAX)
+print(f"{p['probe_copy_s']} {p['probe_copy4_s']} {ok}")
 EOF
 )
   COPY1=$(echo "$PROBE" | awk '{print $1}')
   COPY4=$(echo "$PROBE" | awk '{print $2}')
-  OK=$(python -c "print(1 if float('$COPY1')<4.0 and float('$COPY4')<10.0 else 0)")
+  OK=$(echo "$PROBE" | awk '{print $3}')
   echo "$(date -u +%H:%M:%S) probe copy1=$COPY1 copy4=$COPY4 ok=$OK passes=$PASSES attempt=$ATTEMPT"
   if [ "$OK" != "1" ]; then
     sleep 120

@@ -1,33 +1,39 @@
 #!/bin/bash
-# Round-5 hunter: alternates scalar / jvm official pairs, fires only
-# in probe-healthy windows (same gates as scaling_hunter.sh), stops
-# when EACH mode has landed one pair whose probes sit INSIDE the
-# strict healthy band (bench_scaling "strict_band": copy < 2.2 s,
-# copy4 < 5 s at both levels) or attempts are exhausted. Every run
-# self-labels in BENCH/BASELINE.md either way.
+# Round-5 hunter: alternates scalar / jvm official pairs, firing only
+# in STRICT-band probe windows (bench_scaling.PROBE_STRICT_* — the
+# single source of truth; today's firing-gate windows produced only
+# degraded-window evidence). Stops when EACH mode has landed one pair
+# whose own per-level probes sit inside the strict band
+# (bench_scaling "strict_band"), or when attempts OR polls run out —
+# MAX_POLLS bounds the wait-for-window loop so a sick host cannot
+# spin the script forever. Every run self-labels in BENCH/BASELINE.md
+# either way.
 cd /root/repo || exit 1
 ATTEMPT=0
+POLL=0
 MAX_ATTEMPTS=${MAX_ATTEMPTS:-8}
+MAX_POLLS=${MAX_POLLS:-80}
 SCALAR_OK=0
 JVM_OK=0
-while [ "$ATTEMPT" -lt "$MAX_ATTEMPTS" ]; do
+while [ "$ATTEMPT" -lt "$MAX_ATTEMPTS" ] && [ "$POLL" -lt "$MAX_POLLS" ]; do
   if [ "$SCALAR_OK" -ge 1 ] && [ "$JVM_OK" -ge 1 ]; then
     break
   fi
+  POLL=$((POLL+1))
   PROBE=$(python - <<'EOF'
 import sys
 sys.argv = ["probe"]
 import bench_scaling as B
 p = B.host_probe()
-print(f"{p['probe_copy_s']} {p['probe_copy4_s']}")
+ok = int(p["probe_copy_s"] < B.PROBE_STRICT_COPY_MAX
+         and p["probe_copy4_s"] < B.PROBE_STRICT_COPY4_MAX)
+print(f"{p['probe_copy_s']} {p['probe_copy4_s']} {ok}")
 EOF
 )
   COPY1=$(echo "$PROBE" | awk '{print $1}')
   COPY4=$(echo "$PROBE" | awk '{print $2}')
-  # fire only inside the STRICT band: firing-gate windows (4/10)
-  # produced only degraded-window evidence today
-  OK=$(python -c "print(1 if float('$COPY1')<2.2 and float('$COPY4')<5.0 else 0)")
-  echo "$(date -u +%H:%M:%S) probe copy1=$COPY1 copy4=$COPY4 ok=$OK scalar_ok=$SCALAR_OK jvm_ok=$JVM_OK attempt=$ATTEMPT"
+  OK=$(echo "$PROBE" | awk '{print $3}')
+  echo "$(date -u +%H:%M:%S) probe copy1=$COPY1 copy4=$COPY4 ok=$OK scalar_ok=$SCALAR_OK jvm_ok=$JVM_OK attempt=$ATTEMPT poll=$POLL"
   if [ "$OK" != "1" ]; then
     sleep 90
     continue
@@ -52,4 +58,4 @@ EOF
   fi
   sleep 30
 done
-echo "DONE scalar_ok=$SCALAR_OK jvm_ok=$JVM_OK attempts=$ATTEMPT"
+echo "DONE scalar_ok=$SCALAR_OK jvm_ok=$JVM_OK attempts=$ATTEMPT polls=$POLL"

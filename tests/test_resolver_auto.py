@@ -51,7 +51,7 @@ class TestAutoSwitchover:
         web = generate_web(n_docs=80, n_hosts=5, seed=202)
         # measure pending-wave sizes from a scalar reference run first
         oracle, _, ref_stats = _run(spark, web, 10**9)
-        waves = [r["pending"] for r in ref_stats.per_round]
+        waves = [r["wave"] for r in ref_stats.per_round]
         lo, hi = min(waves), max(waves)
         assert lo < hi, "need uneven wave sizes for a mixed trace"
         # gate at the largest wave: that round goes jvm, strictly
