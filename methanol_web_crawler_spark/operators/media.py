@@ -116,3 +116,119 @@ def decode_media(
     return df.repartition(F.col(ref_col)).mapInPandas(
         decode, FEATURE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    ref_col: str,
+    payload_col: str,
+    width: int = 224,
+    height: int = 224,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Resize image payloads to a fixed shape via mapInPandas.
+
+    STUB like decode_media: the real pixel work needs an image codec
+    absent from this container. ``deterministic_fake`` emits a
+    payload of exactly width*height bytes derived from the source
+    sha1 (seeded, reproducible), so batch shape, output schema and
+    size accounting are exercised for real."""
+
+    def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            refs, ws, hs, outs = [], [], [], []
+            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "image codecs unavailable in this container; "
+                        "pass deterministic_fake=True to exercise the "
+                        "pipeline plumbing"
+                    )
+                digest = hashlib.sha1(data).digest()
+                reps = (width * height) // len(digest) + 1
+                outs.append((digest * reps)[: width * height])
+                refs.append(ref)
+                ws.append(width)
+                hs.append(height)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "payload": outs,
+                }
+            )
+
+    return df.repartition(F.col(ref_col)).mapInPandas(
+        resize, RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_ix", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    ref_col: str,
+    payload_col: str,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Sample frames from video payloads via mapInPandas — the
+    one-row-in / many-rows-out shape (each video explodes into up to
+    ``max_frames`` frame rows with timestamps), which is why this is
+    mapInPandas and not a scalar pandas_udf.
+
+    STUB: real demuxing needs video codecs. ``deterministic_fake``
+    treats the payload as `max_frames` equal byte slices — the fan-out
+    row accounting, schema and per-ref partitioning are real."""
+
+    def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            refs, ixs, tss, frames = [], [], [], []
+            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "video codecs unavailable in this container; "
+                        "pass deterministic_fake=True to exercise the "
+                        "pipeline plumbing"
+                    )
+                n = min(max_frames, max(1, len(data)))
+                step = max(1, len(data) // n)
+                for i in range(n):
+                    refs.append(ref)
+                    ixs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(data[i * step:(i + 1) * step])
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "frame_ix": pd.array(ixs, dtype="int32"),
+                    "ts_ms": pd.array(tss, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return df.repartition(F.col(ref_col)).mapInPandas(
+        sample, FRAME_SCHEMA
+    )

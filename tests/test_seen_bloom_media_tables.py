@@ -94,6 +94,70 @@ class TestMedia:
         with pytest.raises(Exception):
             decode_media(df, "ref", "payload").collect()
 
+    def test_resize_stub_fake(self, spark):
+        from methanol_web_crawler_spark.operators.media import (
+            resize_images,
+        )
+
+        df = spark.createDataFrame(
+            [("http://a.test/x.png", bytearray(b"abc")),
+             ("http://a.test/z.jpg", bytearray(b"zz"))],
+            "ref string, payload binary",
+        )
+        rows = {
+            r["media_ref"]: r
+            for r in resize_images(
+                df, "ref", "payload", width=16, height=4,
+                deterministic_fake=True,
+            ).collect()
+        }
+        assert len(rows) == 2
+        for r in rows.values():
+            assert (r["width"], r["height"]) == (16, 4)
+            assert len(r["payload"]) == 16 * 4
+        # deterministic: distinct payloads -> distinct fakes
+        assert (rows["http://a.test/x.png"]["payload"]
+                != rows["http://a.test/z.jpg"]["payload"])
+
+    def test_frame_sample_fanout(self, spark):
+        from methanol_web_crawler_spark.operators.media import (
+            sample_frames,
+        )
+
+        df = spark.createDataFrame(
+            [("http://a.test/v.mp4", bytearray(bytes(range(64))))],
+            "ref string, payload binary",
+        )
+        rows = sorted(
+            sample_frames(
+                df, "ref", "payload", every_ms=500, max_frames=4,
+                deterministic_fake=True,
+            ).collect(),
+            key=lambda r: r["frame_ix"],
+        )
+        # one video row fans out into max_frames frame rows with
+        # spaced timestamps and contiguous byte slices
+        assert [r["frame_ix"] for r in rows] == [0, 1, 2, 3]
+        assert [r["ts_ms"] for r in rows] == [0, 500, 1000, 1500]
+        assert b"".join(bytes(r["frame"]) for r in rows) == bytes(
+            range(64)
+        )
+
+    def test_resize_and_frames_raise_without_fake(self, spark):
+        from methanol_web_crawler_spark.operators.media import (
+            resize_images,
+            sample_frames,
+        )
+
+        df = spark.createDataFrame(
+            [("http://a.test/x.png", bytearray(b"abc"))],
+            "ref string, payload binary",
+        )
+        with pytest.raises(Exception):
+            resize_images(df, "ref", "payload").collect()
+        with pytest.raises(Exception):
+            sample_frames(df, "ref", "payload").collect()
+
 
 class TestSnapshotStore:
     def test_append_read_time_travel(self, spark, tmp_path):
