@@ -342,6 +342,54 @@ def host_probe() -> dict:
             "probe_copy4_s": round(copy4_s, 3)}
 
 
+class _DuringSampler:
+    """Samples the single-stream copy probe every ``period`` seconds
+    WHILE a level runs. Motivation (round-5 ABA bisect, see
+    BENCH/BASELINE.md): pristine before-level probes coexisted with
+    walls 1.6-2.2x off healthy history — the competing load varies on
+    a minutes scale and a point-in-time probe cannot certify a quiet
+    window. A sustained sample can. Cost: ~1 GB of memory traffic per
+    sample per ~20 s, <5% of fabric bandwidth, identical at both
+    levels so it cancels out of the efficiency ratio."""
+
+    def __init__(self, period: float = 20.0):
+        import threading
+
+        self.period = period
+        self.samples = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self):
+        import numpy as np
+
+        arr = np.empty(100_000_000, dtype=np.uint8)
+        arr[:] = 7
+        while not self._stop.wait(self.period):
+            t0 = time.time()
+            for _ in range(10):
+                b = arr.copy()
+                arr[0] = b[0]
+            self.samples.append(round(time.time() - t0, 3))
+
+    def start(self):
+        self._t.start()
+        return self
+
+    def stop(self) -> dict:
+        self._stop.set()
+        self._t.join(timeout=30)
+        s = self.samples
+        if not s:
+            return {"probe_during_n": 0}
+        return {
+            "probe_during_n": len(s),
+            "probe_during_copy_min_s": min(s),
+            "probe_during_copy_mean_s": round(sum(s) / len(s), 3),
+            "probe_during_copy_max_s": max(s),
+        }
+
+
 def run_at(cpus: int, docs_path: str, frontier_path: str,
            collect_metrics: bool = False) -> dict:
     from methanol_web_crawler_spark.config import default_config
@@ -371,9 +419,11 @@ def run_at(cpus: int, docs_path: str, frontier_path: str,
                 if BLOOM or BLOOM_DIAG else None
             ),
         )
+        sampler = _DuringSampler().start()
         t0 = time.time()
         stats = crawler.run_frontier(frontier)
         wall = time.time() - t0
+        during = sampler.stop()
         out = {
             "cpus": cpus,
             "frontier_rows": int(n_frontier),
@@ -385,6 +435,7 @@ def run_at(cpus: int, docs_path: str, frontier_path: str,
             ),
             "bloom": bool(crawler.bloom is not None),
             **probe,
+            **during,
         }
         if collect_metrics and stats.per_round:
             r0 = stats.per_round[0]
@@ -475,6 +526,25 @@ def main():
         " healthy band (" + "; ".join(strict_viol) + ") — treat as"
         " degraded-window evidence"
     )
+    # Sustained verdict (round-5 ABA lesson): the during-run copy
+    # samples are the only signal that can certify a QUIET window —
+    # before-level probes bound obviously-sick ones. Clean = every
+    # sample under the strict single-stream band.
+    sustained_viol = [
+        f"{r['cpus']}c during-copy max "
+        f"{r['probe_during_copy_max_s']}s > {PROBE_STRICT_COPY_MAX}s"
+        for r in results
+        if r.get("probe_during_n")
+        and r["probe_during_copy_max_s"] > PROBE_STRICT_COPY_MAX
+    ]
+    has_during = any(r.get("probe_during_n") for r in results)
+    sustained_verdict = (
+        "" if not has_during
+        else "CLEAN — every during-run copy sample inside the strict "
+        "band; this window is certified quiet" if not sustained_viol
+        else "DEGRADED DURING RUN (" + "; ".join(sustained_viol)
+        + ") — walls include invisible-to-point-probe contention"
+    )
     resolver = os.environ.get("METHANOL_RESOLVER", "auto")
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     out = {
@@ -494,6 +564,7 @@ def main():
         "passes": eff >= 0.8,
         "probe_clean": not violations,
         "strict_band": not (violations or strict_viol),
+        "sustained_clean": has_during and not sustained_viol,
     }
     print(json.dumps(out))
 
@@ -532,11 +603,26 @@ def main():
             )
             + "\n"
         )
+        if any(r.get("probe_during_n") for r in results):
+            f.write(
+                "\nSUSTAINED during-run copy samples (every ~20 s "
+                "while the level runs; min/mean/max over n samples): "
+                + ", ".join(
+                    f"{r['cpus']}c: "
+                    f"{r.get('probe_during_copy_min_s', 'n/a')}/"
+                    f"{r.get('probe_during_copy_mean_s', 'n/a')}/"
+                    f"{r.get('probe_during_copy_max_s', 'n/a')}s "
+                    f"(n={r.get('probe_during_n', 0)})"
+                    for r in results
+                )
+                + "\n"
+            )
         f.write(
             f"\nscaling efficiency (tput@{LEVELS[1]} / "
             f"tput@{LEVELS[0]}) / 4 = **{eff:.3f}** — "
             f"{'PASS' if eff >= 0.8 else 'BELOW'} the ≥0.8 criterion. "
-            f"Probe verdict: {probe_verdict}.\n"
+            f"Probe verdict: {probe_verdict}."
+            f"{' Sustained verdict: ' + sustained_verdict if sustained_verdict else ''}\n"
         )
 
 
