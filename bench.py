@@ -174,6 +174,11 @@ def main():
     from methanol_web_crawler_spark import entryqueries
 
     probe_before = host_probe()
+    # sustained during-run sampling (round-5 ABA lesson: point probes
+    # cannot certify a quiet window; samples every ~20 s can)
+    import bench_scaling
+
+    sampler = bench_scaling._DuringSampler().start()
 
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -194,7 +199,13 @@ def main():
         per_query[name] = round(dt, 3)
         total += dt
 
+    during = sampler.stop()
     probe_after = host_probe()
+    sustained_ok = (
+        during.get("probe_during_n", 0) > 0
+        and during["probe_during_copy_max_s"]
+        < bench_scaling.PROBE_STRICT_COPY_MAX
+    )
     out = {
         "metric": "crawl+analytics suite wall time",
         "value": round(total, 3),
@@ -203,9 +214,11 @@ def main():
         "sf": sf_of(SF_DIR),
         "cpus": int(CPUS),
         "crawl": crawl,
-        "probes": {"before": probe_before, "after": probe_after},
+        "probes": {"before": probe_before, "after": probe_after,
+                   "during": during},
         "host_healthy": _probe_ok(probe_before)
         and _probe_ok(probe_after),
+        "sustained_clean": sustained_ok,
     }
     print(json.dumps(out))
 
