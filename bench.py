@@ -179,6 +179,10 @@ def main():
     import bench_scaling
 
     sampler = bench_scaling._DuringSampler().start()
+    # /proc/stat steal integral over the whole suite: the hypervisor's
+    # own count of cycles a neighbor VM took from us WHILE the suite
+    # ran — unlike the point probes it cannot miss a burst
+    st0 = bench_scaling.read_proc_stat()
 
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -200,6 +204,7 @@ def main():
         total += dt
 
     during = sampler.stop()
+    steal = bench_scaling.steal_delta(st0, bench_scaling.read_proc_stat())
     probe_after = host_probe()
     sustained_ok = (
         during.get("probe_during_n", 0) > 0
@@ -215,10 +220,12 @@ def main():
         "cpus": int(CPUS),
         "crawl": crawl,
         "probes": {"before": probe_before, "after": probe_after,
-                   "during": during},
+                   "during": during, "steal": steal},
         "host_healthy": _probe_ok(probe_before)
         and _probe_ok(probe_after),
         "sustained_clean": sustained_ok,
+        "steal_clean": steal["steal_pct_of_demand"]
+        <= bench_scaling.STEAL_CLEAN_PCT_MAX,
     }
     print(json.dumps(out))
 

@@ -342,6 +342,41 @@ def host_probe() -> dict:
             "probe_copy4_s": round(copy4_s, 3)}
 
 
+def read_proc_stat() -> dict:
+    """Aggregate CPU jiffies from /proc/stat (USER_HZ=100). The steal
+    field is the hypervisor's own account of cycles our vCPUs wanted
+    but a neighbor VM got — an INTEGRAL over the measurement window,
+    so unlike the point-in-time copy probes it cannot miss
+    minutes-scale bursts (the round-5 ABA bisect's A2 anomaly:
+    pristine probes, 25% inflated wall). Read before/after each level;
+    the delta is the exact stolen-CPU cost of that level's window."""
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return {
+        "busy": (v[0] + v[1] + v[2]) / 100.0,  # user+nice+system s
+        "steal": v[7] / 100.0,
+    }
+
+
+def steal_delta(s0: dict, s1: dict) -> dict:
+    busy = s1["busy"] - s0["busy"]
+    steal = s1["steal"] - s0["steal"]
+    demand = busy + steal
+    return {
+        "steal_core_s": round(steal, 2),
+        "busy_core_s": round(busy, 2),
+        "steal_pct_of_demand": round(100 * steal / demand, 2)
+        if demand > 0 else 0.0,
+    }
+
+
+# A level whose hypervisor steal exceeds this share of its total CPU
+# demand ran in a contended window regardless of what the copy probes
+# said (calibration: quiet host measures ~0-1.1% under full 32-core
+# load; the walls-vs-history degraded band corresponds to far more).
+STEAL_CLEAN_PCT_MAX = 3.0
+
+
 class _DuringSampler:
     """Samples the single-stream copy probe every ``period`` seconds
     WHILE a level runs. Motivation (round-5 ABA bisect, see
@@ -420,10 +455,13 @@ def run_at(cpus: int, docs_path: str, frontier_path: str,
             ),
         )
         sampler = _DuringSampler().start()
+        st0 = read_proc_stat()
         t0 = time.time()
         stats = crawler.run_frontier(frontier)
         wall = time.time() - t0
+        st1 = read_proc_stat()
         during = sampler.stop()
+        steal = steal_delta(st0, st1)
         out = {
             "cpus": cpus,
             "frontier_rows": int(n_frontier),
@@ -436,6 +474,7 @@ def run_at(cpus: int, docs_path: str, frontier_path: str,
             "bloom": bool(crawler.bloom is not None),
             **probe,
             **during,
+            **steal,
         }
         if collect_metrics and stats.per_round:
             r0 = stats.per_round[0]
@@ -545,6 +584,27 @@ def main():
         else "DEGRADED DURING RUN (" + "; ".join(sustained_viol)
         + ") — walls include invisible-to-point-probe contention"
     )
+    # Steal verdict: /proc/stat steal integrated over each level — the
+    # one signal that covers the ENTIRE window (copy probes are points,
+    # the during-sampler is 20 s grained). Clean = hypervisor stole
+    # under STEAL_CLEAN_PCT_MAX of each level's CPU demand.
+    steal_viol = [
+        f"{r['cpus']}c steal {r['steal_pct_of_demand']}% of demand "
+        f"({r['steal_core_s']} core-s) > {STEAL_CLEAN_PCT_MAX}%"
+        for r in results
+        if r.get("steal_pct_of_demand", 0) > STEAL_CLEAN_PCT_MAX
+    ]
+    has_steal = any("steal_pct_of_demand" in r for r in results)
+    steal_verdict = (
+        "" if not has_steal
+        else "CLEAN — hypervisor steal "
+        + ", ".join(f"{r['cpus']}c {r['steal_pct_of_demand']}%"
+                    for r in results)
+        + " of CPU demand (integral over each level)"
+        if not steal_viol
+        else "CPU-CONTENDED (" + "; ".join(steal_viol)
+        + ") — a neighbor VM took cycles during the run itself"
+    )
     resolver = os.environ.get("METHANOL_RESOLVER", "auto")
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     out = {
@@ -565,6 +625,7 @@ def main():
         "probe_clean": not violations,
         "strict_band": not (violations or strict_viol),
         "sustained_clean": has_during and not sustained_viol,
+        "steal_clean": has_steal and not steal_viol,
     }
     print(json.dumps(out))
 
@@ -622,7 +683,8 @@ def main():
             f"tput@{LEVELS[0]}) / 4 = **{eff:.3f}** — "
             f"{'PASS' if eff >= 0.8 else 'BELOW'} the ≥0.8 criterion. "
             f"Probe verdict: {probe_verdict}."
-            f"{' Sustained verdict: ' + sustained_verdict if sustained_verdict else ''}\n"
+            f"{' Sustained verdict: ' + sustained_verdict + '.' if sustained_verdict else ''}"
+            f"{' Steal verdict: ' + steal_verdict + '.' if steal_verdict else ''}\n"
         )
 
 

@@ -1,0 +1,97 @@
+#!/bin/bash
+# Round-5 session-3 hunter. Same priority order as scaling_hunter3.sh
+# (1. scalar strict-band pair, 2. jvm strict-band pair, 3. healthy
+# bench.py rerun) with two additions from the steal investigation:
+#   - firing gate = strict copy band AND an 8-worker spin probe whose
+#     /proc/stat steal share must be < 2% (CPU and bandwidth are
+#     INDEPENDENT contention axes on this VM — measured 20:50 UTC:
+#     steal 1.1% while single-stream copy was 4.7 s, i.e. sick fabric
+#     with idle CPUs; either alone can sink a pair);
+#   - /tmp/hunter_firing exists exactly while an attempt runs, so
+#     interactive work can avoid launching Spark jobs into a live
+#     measurement (the round-5 self-contamination protocol, now
+#     mechanical).
+# Every fired pair self-labels in BENCH/BASELINE.md with probe,
+# sustained, and steal verdicts (bench_scaling.py writes all three).
+cd /root/repo || exit 1
+ATTEMPT=0
+POLL=0
+BENCH_N=${BENCH_N:-10}
+MAX_ATTEMPTS=${MAX_ATTEMPTS:-8}
+MAX_POLLS=${MAX_POLLS:-300}
+SCALAR_OK=${SCALAR_OK:-0}
+JVM_OK=${JVM_OK:-0}
+BENCH_OK=${BENCH_OK:-0}
+rm -f /tmp/hunter_firing
+trap 'rm -f /tmp/hunter_firing' EXIT
+while [ "$POLL" -lt "$MAX_POLLS" ] && [ "$ATTEMPT" -lt "$MAX_ATTEMPTS" ]; do
+  if [ "$SCALAR_OK" -ge 1 ] && [ "$JVM_OK" -ge 1 ] && [ "$BENCH_OK" -ge 1 ]; then
+    break
+  fi
+  POLL=$((POLL+1))
+  PROBE=$(python - <<'EOF'
+import multiprocessing as mp, sys, time
+sys.argv = ["probe"]
+import bench_scaling as B
+p = B.host_probe()
+def spin(dur):
+    t_end = time.time() + dur
+    x = 1
+    while time.time() < t_end:
+        for _ in range(100000):
+            x = (x * 1103515245 + 12345) % (2**31)
+s0 = B.read_proc_stat()
+ctx = mp.get_context("fork")
+ps = [ctx.Process(target=spin, args=(2.0,)) for _ in range(8)]
+[q.start() for q in ps]
+[q.join() for q in ps]
+st = B.steal_delta(s0, B.read_proc_stat())
+ok = int(p["probe_copy_s"] < B.PROBE_STRICT_COPY_MAX
+         and p["probe_copy4_s"] < B.PROBE_STRICT_COPY4_MAX
+         and st["steal_pct_of_demand"] < 2.0)
+print(f"{p['probe_copy_s']} {p['probe_copy4_s']} "
+      f"{st['steal_pct_of_demand']} {ok}")
+EOF
+)
+  COPY1=$(echo "$PROBE" | awk '{print $1}')
+  COPY4=$(echo "$PROBE" | awk '{print $2}')
+  STEAL=$(echo "$PROBE" | awk '{print $3}')
+  OK=$(echo "$PROBE" | awk '{print $4}')
+  echo "$(date -u +%H:%M:%S) probe copy1=$COPY1 copy4=$COPY4 steal%=$STEAL ok=$OK s=$SCALAR_OK j=$JVM_OK b=$BENCH_OK attempt=$ATTEMPT poll=$POLL"
+  if [ "$OK" != "1" ]; then
+    sleep 70
+    continue
+  fi
+  if [ "$SCALAR_OK" -lt 1 ]; then
+    MODE=scalar
+  elif [ "$JVM_OK" -lt 1 ]; then
+    MODE=jvm
+  else
+    MODE=bench
+  fi
+  ATTEMPT=$((ATTEMPT+1))
+  echo "$(date -u +%H:%M:%S) firing attempt $ATTEMPT mode=$MODE"
+  touch /tmp/hunter_firing
+  if [ "$MODE" = bench ]; then
+    BENCH_N=$((BENCH_N+1))
+    python bench.py > "/tmp/bench_hunt_${BENCH_N}.json" 2>/tmp/bench_hunt.err
+    HEALTHY=$(grep -o '"host_healthy": [a-z]*' "/tmp/bench_hunt_${BENCH_N}.json" | tail -1)
+    WALL=$(grep -o '"value": [0-9.]*' "/tmp/bench_hunt_${BENCH_N}.json" | head -1)
+    echo "$(date -u +%H:%M:%S) attempt $ATTEMPT bench -> $WALL $HEALTHY"
+    if echo "$HEALTHY" | grep -q true; then BENCH_OK=$((BENCH_OK+1)); fi
+  else
+    METHANOL_RESOLVER=$MODE python bench_scaling.py \
+      > "/tmp/hunt4_${ATTEMPT}_${MODE}.log" 2>&1
+    RES=$(grep -o '"scaling_efficiency": [0-9.]*' "/tmp/hunt4_${ATTEMPT}_${MODE}.log" | tail -1)
+    STRICT=$(grep -o '"strict_band": [a-z]*' "/tmp/hunt4_${ATTEMPT}_${MODE}.log" | tail -1)
+    STEALC=$(grep -o '"steal_clean": [a-z]*' "/tmp/hunt4_${ATTEMPT}_${MODE}.log" | tail -1)
+    echo "$(date -u +%H:%M:%S) attempt $ATTEMPT mode=$MODE -> $RES $STRICT $STEALC"
+    if echo "$STRICT" | grep -q true; then
+      if [ "$MODE" = scalar ]; then SCALAR_OK=$((SCALAR_OK+1)); else JVM_OK=$((JVM_OK+1)); fi
+    fi
+  fi
+  rm -f /tmp/hunter_firing
+  sleep 30
+done
+rm -f /tmp/hunter_firing
+echo "DONE scalar_ok=$SCALAR_OK jvm_ok=$JVM_OK bench_ok=$BENCH_OK attempts=$ATTEMPT polls=$POLL"
