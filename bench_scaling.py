@@ -524,10 +524,40 @@ def main():
     # levels are independent sessions over the same pre-materialized
     # inputs; efficiency math is order-free (reported lo-first as
     # always).
-    by_level = {
-        c: run_at(c, docs_path, frontier_path)
-        for c in sorted(LEVELS, reverse=True)
-    }
+    #
+    # Per-LEVEL retry (round-5 session 3): a level whose OWN integral
+    # verdicts come back dirty (steal > STEAL_CLEAN_PCT_MAX, or
+    # during-run copy mean past the strict band) measured the
+    # neighbor, not the engine — rerun just that level up to
+    # LEVEL_RETRIES times instead of discarding the whole pair. This
+    # is the pre-registered discard rule applied at level granularity,
+    # mechanically, with every discarded try recorded in the section.
+    def level_quiet(r: dict) -> bool:
+        if r.get("steal_pct_of_demand", 0) > STEAL_CLEAN_PCT_MAX:
+            return False
+        if r.get("probe_during_n") and r.get(
+            "probe_during_copy_mean_s", 0
+        ) > PROBE_STRICT_COPY_MAX:
+            return False
+        return True
+
+    LEVEL_RETRIES = int(os.environ.get("SPARK_GRAFT_LEVEL_RETRIES", "2"))
+    discarded_tries = []
+    by_level = {}
+    for c in sorted(LEVELS, reverse=True):
+        for attempt in range(1 + LEVEL_RETRIES):
+            r = run_at(c, docs_path, frontier_path)
+            if level_quiet(r) or attempt == LEVEL_RETRIES:
+                by_level[c] = r
+                break
+            discarded_tries.append(r)
+            print(json.dumps({"level_retry": c, "try": attempt + 1,
+                              "discarded_wall_s": r["wall_sec"],
+                              "steal_pct": r["steal_pct_of_demand"],
+                              "during_mean": r.get(
+                                  "probe_during_copy_mean_s")}),
+                  file=sys.stderr)
+            time.sleep(20)
     results = [by_level[c] for c in LEVELS]
     r_lo, r_hi = results
     eff = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / (
@@ -664,6 +694,18 @@ def main():
             )
             + "\n"
         )
+        if discarded_tries:
+            f.write(
+                "\nIn-run level retries (dirty integral verdicts, "
+                "discarded mechanically before pairing): "
+                + ", ".join(
+                    f"{d['cpus']}c wall {d['wall_sec']}s (steal "
+                    f"{d['steal_pct_of_demand']}%, during-copy mean "
+                    f"{d.get('probe_during_copy_mean_s', 'n/a')}s)"
+                    for d in discarded_tries
+                )
+                + "\n"
+            )
         if any(r.get("probe_during_n") for r in results):
             f.write(
                 "\nSUSTAINED during-run copy samples (every ~20 s "

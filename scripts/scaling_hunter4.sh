@@ -85,8 +85,15 @@ EOF
     RES=$(grep -o '"scaling_efficiency": [0-9.]*' "/tmp/hunt4_${ATTEMPT}_${MODE}.log" | tail -1)
     STRICT=$(grep -o '"strict_band": [a-z]*' "/tmp/hunt4_${ATTEMPT}_${MODE}.log" | tail -1)
     STEALC=$(grep -o '"steal_clean": [a-z]*' "/tmp/hunt4_${ATTEMPT}_${MODE}.log" | tail -1)
-    echo "$(date -u +%H:%M:%S) attempt $ATTEMPT mode=$MODE -> $RES $STRICT $STEALC"
-    if echo "$STRICT" | grep -q true; then
+    SUST=$(grep -o '"sustained_clean": [a-z]*' "/tmp/hunt4_${ATTEMPT}_${MODE}.log" | tail -1)
+    echo "$(date -u +%H:%M:%S) attempt $ATTEMPT mode=$MODE -> $RES $STRICT $STEALC $SUST"
+    # a requirement is satisfied only by a CERTIFIED-QUIET run: strict
+    # before-probes AND clean sustained copy samples AND <3% steal —
+    # attempt 1 proved strict_band alone fires into windows that die
+    # seconds later (8c before-copy 0.341 s, during-mean 7.3 s, 7.9%
+    # steal)
+    if echo "$STRICT" | grep -q true && echo "$STEALC" | grep -q true \
+       && echo "$SUST" | grep -q true; then
       if [ "$MODE" = scalar ]; then SCALAR_OK=$((SCALAR_OK+1)); else JVM_OK=$((JVM_OK+1)); fi
     fi
   fi
