@@ -545,12 +545,12 @@ def main():
     discarded_tries = []
     by_level = {}
     for c in sorted(LEVELS, reverse=True):
+        tries = []
         for attempt in range(1 + LEVEL_RETRIES):
             r = run_at(c, docs_path, frontier_path)
-            if level_quiet(r) or attempt == LEVEL_RETRIES:
-                by_level[c] = r
+            tries.append(r)
+            if level_quiet(r):
                 break
-            discarded_tries.append(r)
             print(json.dumps({"level_retry": c, "try": attempt + 1,
                               "discarded_wall_s": r["wall_sec"],
                               "steal_pct": r["steal_pct_of_demand"],
@@ -558,6 +558,24 @@ def main():
                                   "probe_during_copy_mean_s")}),
                   file=sys.stderr)
             time.sleep(20)
+        # keep the QUIETEST try, not the last: with retries exhausted
+        # the last try can be dirtier than an earlier discard (round-5
+        # attempt 2 paired during-mean 3.2 s after discarding a 2.33 s
+        # try). Every try is a complete deterministic run of the same
+        # job over the same input, so the least-contended one is the
+        # best measurement of the engine; the rest are recorded as
+        # discards either way.
+        by_level[c] = min(
+            tries,
+            key=lambda r: (
+                not level_quiet(r),
+                r.get("probe_during_copy_mean_s", 0.0),
+                r.get("steal_pct_of_demand", 0.0),
+            ),
+        )
+        discarded_tries.extend(
+            t for t in tries if t is not by_level[c]
+        )
     results = [by_level[c] for c in LEVELS]
     r_lo, r_hi = results
     eff = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / (
@@ -597,22 +615,42 @@ def main():
     )
     # Sustained verdict (round-5 ABA lesson): the during-run copy
     # samples are the only signal that can certify a QUIET window —
-    # before-level probes bound obviously-sick ones. Clean = every
-    # sample under the strict single-stream band.
+    # before-level probes bound obviously-sick ones. v2 (pre-registered
+    # 2026-08-18 01:00 UTC, see the BASELINE.md note): certify on the
+    # MEAN during-run copy, the same statistic as the in-run retry
+    # gate. v1 certified on the max-of-n, which (a) contradicted the
+    # retry gate — a level could pass retries at mean 1.39 s and be
+    # decertified by one 20 s transient among n=8 samples — and (b) is
+    # a noisy extreme whose false-alarm rate grows with level length,
+    # while the statistic that actually moves the wall is the integral
+    # (mean). The max and the dip count stay RECORDED in every verdict
+    # so a max-heavy window remains visible to adjudication.
     sustained_viol = [
-        f"{r['cpus']}c during-copy max "
-        f"{r['probe_during_copy_max_s']}s > {PROBE_STRICT_COPY_MAX}s"
+        f"{r['cpus']}c during-copy mean "
+        f"{r['probe_during_copy_mean_s']}s > {PROBE_STRICT_COPY_MAX}s"
+        for r in results
+        if r.get("probe_during_n")
+        and r["probe_during_copy_mean_s"] > PROBE_STRICT_COPY_MAX
+    ]
+    dips = [
+        f"{r['cpus']}c max {r['probe_during_copy_max_s']}s"
         for r in results
         if r.get("probe_during_n")
         and r["probe_during_copy_max_s"] > PROBE_STRICT_COPY_MAX
     ]
+    dip_note = (
+        " (transient dips past the band: " + ", ".join(dips) + ")"
+        if dips else ""
+    )
     has_during = any(r.get("probe_during_n") for r in results)
     sustained_verdict = (
         "" if not has_during
-        else "CLEAN — every during-run copy sample inside the strict "
-        "band; this window is certified quiet" if not sustained_viol
+        else "CLEAN — during-run copy MEAN inside the strict band at "
+        "both levels; this window is certified quiet" + dip_note
+        if not sustained_viol
         else "DEGRADED DURING RUN (" + "; ".join(sustained_viol)
-        + ") — walls include invisible-to-point-probe contention"
+        + ")" + dip_note
+        + " — walls include invisible-to-point-probe contention"
     )
     # Steal verdict: /proc/stat steal integrated over each level — the
     # one signal that covers the ENTIRE window (copy probes are points,
