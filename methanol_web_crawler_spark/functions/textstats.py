@@ -73,9 +73,13 @@ def lang_id(text_col) -> "F.Column":
     return expr
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_features(
+    df: DataFrame, id_col: str, text_col: str, extra_cols: tuple = ()
+) -> DataFrame:
     """Length/punctuation/stopword/uniqueness features + a composite
-    quality score (rounded — SQL-exact)."""
+    quality score (rounded — SQL-exact). ``extra_cols`` pass through
+    unchanged so a pipeline can filter on ``quality`` without a
+    join-back (operators/curation.py)."""
     text = F.col(text_col)
     n_chars = F.length(text)
     n_tokens = token_count(text)
@@ -99,6 +103,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             * (1 - n_punct / F.greatest(n_chars, F.lit(1))),
             6,
         ).alias("quality"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
