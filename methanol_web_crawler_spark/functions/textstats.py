@@ -73,6 +73,51 @@ def lang_id(text_col) -> "F.Column":
     return expr
 
 
+def word_ngrams(text, n: int):
+    """All word n-grams of a text column as ``array<string>`` (space-
+    joined), empty for texts with fewer than ``n`` tokens. The
+    ``when`` guard matters: ``sequence(1, size-n+1)`` with a stop
+    below 1 generates a DESCENDING range, not an empty one. Shared by
+    the decontamination operator and the repetition feature."""
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Intra-document repetition (the Gopher/MassiveText duplicate-
+    n-gram rule): the fraction of a doc's word n-grams that are
+    repeats of an earlier gram in the SAME doc — boilerplate and
+    degenerate repetition score high and get filtered from the
+    training mix. Entirely within-row array expressions (no explode,
+    no shuffle): a pure JVM projection at any corpus size.
+
+    Returns ``(doc, n_grams, n_distinct_grams, rep_ratio)`` with
+    ``rep_ratio = round(1 - distinct/total, 6)`` (0 for docs too
+    short to have grams)."""
+    grams = word_ngrams(F.col(text_col), n)
+    n_grams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        # (total - distinct)/total, with the greatest() guard making
+        # gram-less docs 0/1 = 0 (NOT the 1 - distinct/total form,
+        # whose guard yields a bogus 1.0 for empty docs)
+        F.round(
+            (n_grams - n_distinct) / F.greatest(n_grams, F.lit(1)), 6
+        ).alias("rep_ratio"),
+    )
+
+
 def quality_features(
     df: DataFrame, id_col: str, text_col: str, extra_cols: tuple = ()
 ) -> DataFrame:

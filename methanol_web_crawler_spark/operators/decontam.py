@@ -29,20 +29,11 @@ pipeline surface built over the same tables (like
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-
-def word_ngrams(text: Column, n: int) -> Column:
-    """All word n-grams of a text column as ``array<string>`` (space-
-    joined), empty for texts with fewer than ``n`` tokens."""
-    toks = F.filter(F.split(text, " "), lambda t: t != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+# gram construction lives with the other text features; re-exported
+# here because decontamination is its main consumer
+from ..functions.textstats import word_ngrams
 
 
 def ngram_overlap(

@@ -73,3 +73,27 @@ def test_eval_side_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_repetition_features(spark):
+    from methanol_web_crawler_spark.functions.textstats import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # bigrams: ab ba ab ba -> 4 total, 2 distinct
+            (2, "a b c d"),     # all distinct
+            (3, "x"),           # too short for bigrams
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc"]: (r["n_grams"], r["n_distinct_grams"], r["rep_ratio"])
+        for r in repetition_features(df, "doc_id", "text", n=2).collect()
+    }
+    assert got[1] == (4, 2, 0.5)
+    assert got[2] == (3, 3, 0.0)
+    assert got[3] == (0, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
