@@ -156,16 +156,33 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str,
                 mod: int = 1073741789) -> DataFrame:
     """Order-sensitive document fingerprint: position-weighted sum of
     md5-derived token hashes mod a prime (a rolling-hash analog that
-    is exactly SQL-replicable via unnest WITH ORDINALITY)."""
-    tok = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
-    ).filter(F.col("token") != "")
-    h = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10)
-        .cast("long") % F.lit(mod)
+    is exactly SQL-replicable via unnest WITH ORDINALITY).
+
+    Within-row: positions come from the transform index over the raw
+    split array (empty tokens keep their position slot, contributing
+    0 — identical to posexplode + filter), the sum is an array
+    aggregate — a pure JVM projection, zero shuffles (was two:
+    posexplode + groupBy-doc). Each term is < mod ~ 2^30, so the long
+    accumulator cannot overflow at any realistic token count."""
+    arr = F.split(F.col(text_col), " ")
+    terms = F.transform(
+        arr,
+        lambda t, i: F.when(
+            t != "",
+            ((i + F.lit(1))
+             * (F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                .cast("long") % F.lit(mod))) % F.lit(mod),
+        ).otherwise(F.lit(0).cast("long")),
     )
-    return tok.groupBy("doc").agg(
-        (F.sum(((F.col("pos") + 1) * h) % F.lit(mod))
-         % F.lit(mod)).alias("fingerprint")
+    # cheap emptiness filter before the hash projection (trim != ''
+    # iff some token is non-empty; split is on single spaces):
+    # row-count consumers never evaluate the md5 terms
+    out = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc"), terms.alias("__t")
+    )
+    return out.select(
+        "doc",
+        (F.aggregate(
+            F.col("__t"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ) % F.lit(mod)).alias("fingerprint"),
     )

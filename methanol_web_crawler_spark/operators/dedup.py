@@ -33,15 +33,35 @@ def _token_hash(col: str = "token", m: int = MINHASH_M):
     )
 
 
-def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct whitespace tokens per document (exploded)."""
+def _token_hash_of(tok, m: int = MINHASH_M):
+    """The same md5-derived hash over an arbitrary column/lambda arg
+    (for within-row higher-order expressions)."""
     return (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.split(F.col(text_col), " ")).alias("token"),
-        )
-        .filter(F.col("token") != "")
-        .distinct()
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10)
+        .cast("long") % F.lit(m)
+    )
+
+
+def token_array(text_col) -> "F.Column":
+    """Distinct whitespace tokens of one document as an array —
+    within-row (array_distinct), no shuffle. Equals the distinct
+    (doc, token) set when doc ids are unique per input row."""
+    return F.array_distinct(
+        F.filter(F.split(text_col, " "), lambda t: t != "")
+    )
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct whitespace tokens per document (exploded).
+
+    Dedup happens within-row (array_distinct before the explode)
+    instead of a corpus-wide ``.distinct()``: one Generate, ZERO
+    exchanges — the old global distinct shuffled every (doc, token)
+    edge for nothing, since ids are unique per input row (callers'
+    precondition; documents/_duped_docs corpora satisfy it)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(token_array(F.col(text_col))).alias("token"),
     )
 
 
@@ -67,14 +87,41 @@ def minhash_signatures(
     sig_i = min over tokens of (a_i * h(token) + b_i) mod m with
     a_i = 2i+3, b_i = 104729*i + 12345 — shared verbatim with the SQL
     oracle so signatures match bit-for-bit.
+
+    Computed entirely within-row (array_min over the hashed token
+    array): the old explode + distinct + groupBy-doc shape cost two
+    exchanges per use; this is a pure JVM projection — zero shuffles
+    at any corpus size. Docs with no tokens drop out, exactly as the
+    groupBy over the empty exploded set did.
     """
-    tok = tokens(df, id_col, text_col).withColumn("h", _token_hash())
-    aggs = [
-        F.min((F.lit(2 * i + 3) * F.col("h") + F.lit(104729 * i + 12345))
-              % F.lit(m)).alias(f"sig{i}")
+    # filter BEFORE tokenizing/hashing: trim(text) != '' is true iff
+    # the distinct token set is non-empty (split is on single spaces),
+    # so row-count consumers never pay for split/array_distinct or the
+    # md5 transform
+    toks = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc"),
+        token_array(F.col(text_col)).alias("__toks"),
+    )
+    # two-step projection: __h is referenced k times below, and the
+    # md5 hashing is expensive enough that CollapseProject keeps the
+    # producing Project separate (one hash pass, k min passes)
+    base = toks.select(
+        "doc",
+        F.transform(
+            F.col("__toks"), lambda t: _token_hash_of(t, m)
+        ).alias("__h"),
+    )
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("__h"),
+                lambda h: (F.lit(2 * i + 3) * h
+                           + F.lit(104729 * i + 12345)) % F.lit(m),
+            )
+        ).alias(f"sig{i}")
         for i in range(k)
     ]
-    return tok.groupBy("doc").agg(*aggs)
+    return base.select("doc", *sigs)
 
 
 def minhash_lsh_pairs(
@@ -94,25 +141,37 @@ def minhash_lsh_pairs(
     thousands of docs in one bucket. Buckets above the cap are dropped
     whole (deterministically — mirrored in the SQL oracle); such
     mega-clusters are exact-dup territory and far cheaper to collapse
-    with dedup_exact than to enumerate pairwise. 0 disables."""
+    with dedup_exact than to enumerate pairwise. 0 disables.
+
+    Shape: signatures are a within-row projection (zero exchanges —
+    see minhash_signatures), each doc explodes into ``bands``
+    (band, bucket) rows in ONE pass, and the count window + self-join
+    share the (band, bucket) exchange. The old shape built each band
+    as a separate select over the aggregated signatures, and per-band
+    column pruning specialised each aggregate — 24 exchanges at
+    k=16/bands=4 because neither band frames nor join sides could
+    reuse each other's exchanges. (A collect_list + within-row pair
+    explosion variant measured SLOWER: materialising O(n^2) pair
+    structs per bucket in an ObjectHashAggregate loses to the
+    streaming sort-merge self-join.)"""
     from pyspark.sql import Window
 
     rows = k // bands
     sig = minhash_signatures(df, id_col, text_col, k, m)
-    band_frames: List[DataFrame] = []
-    for b in range(bands):
-        cols = [f"sig{b * rows + j}" for j in range(rows)]
-        band_frames.append(
-            sig.select(
-                "doc",
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-                .alias("bucket"),
-            )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_",
+                *[F.col(f"sig{b * rows + j}").cast("string")
+                  for j in range(rows)],
+            ).alias("bucket"),
         )
-    banded = band_frames[0]
-    for f in band_frames[1:]:
-        banded = banded.unionByName(f)
+        for b in range(bands)
+    ])
+    banded = sig.select(
+        "doc", F.explode(band_structs).alias("bb")
+    ).select("doc", "bb.band", "bb.bucket")
     if max_bucket_size:
         # same shuffle key as the self-join below, so the window's
         # exchange is reused rather than added
@@ -145,23 +204,36 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     Uses ``bits`` bits of the md5-derived token hash; each bit's
     weight is +1/-1 per distinct token; the fingerprint sets bits with
     positive majority. Integer-deterministic — exact SQL oracle.
-    """
-    tok = tokens(df, id_col, text_col).withColumn(
-        "h", _token_hash() % F.lit(1 << bits)
+
+    Within-row: w_i = (#set) - (#unset) = 2*(#set) - n_tokens, so
+    bit i is set iff 2*size(filter(h, bit_i)) > n_tokens — a pure JVM
+    projection over the hashed token array, zero shuffles (was two:
+    explode+distinct and groupBy-doc)."""
+    # filter before tokenizing/hashing (as in minhash_signatures):
+    # row-count consumers never pay for the md5 transform
+    toks = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc"),
+        token_array(F.col(text_col)).alias("__toks"),
     )
-    weight_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"w{i}")
-        for i in range(bits)
-    ]
-    weighted = tok.groupBy("doc").agg(*weight_aggs)
+    base = toks.select(
+        "doc",
+        F.transform(
+            F.col("__toks"),
+            lambda t: _token_hash_of(t) % F.lit(1 << bits),
+        ).alias("__h"),
+    )
+    ntok = F.size(F.col("__h"))
     fp = None
     for i in range(bits):
-        term = F.when(F.col(f"w{i}") > 0, F.lit(1 << i)).otherwise(0)
+        nset = F.size(
+            F.filter(
+                F.col("__h"),
+                lambda h: F.shiftright(h, i).bitwiseAND(1) == 1,
+            )
+        )
+        term = F.when(nset * 2 > ntok, F.lit(1 << i)).otherwise(0)
         fp = term if fp is None else (fp + term)
-    return weighted.select("doc", fp.cast("long").alias("simhash"))
+    return base.select("doc", fp.cast("long").alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -179,7 +251,15 @@ def ngram_jaccard_pairs(
     turns the join quadratic in corpus size; dropping it barely moves
     Jaccard (it intersects everything) but removes the hot key.
     NOTE: the cap changes n_a/n_b (set sizes count surviving tokens),
-    so it is mirrored exactly in the SQL oracle. 0 disables."""
+    so it is mirrored exactly in the SQL oracle. 0 disables.
+
+    Shape notes: the doc-frequency cap must see the WHOLE corpus, but
+    everything after it only needs docs in one of the two samples —
+    the sample filter runs right after the cap, shrinking the size
+    window and the token join input to ~(1/mod_a + 1/mod_b) of the
+    corpus. Set sizes come from a count window over doc (surviving
+    tokens only — sample filtering keeps whole docs, so n is
+    unchanged) instead of a groupBy+join back."""
     from pyspark.sql import Window
 
     tok = tokens(df, id_col, text_col)
@@ -190,20 +270,17 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= max_token_df)
             .drop("__df")
         )
-    sizes = tok.groupBy("doc").agg(F.count("*").alias("n"))
-    ta = (
-        tok.join(sizes, "doc")
-        .filter(F.col("doc") % mod_a == 0)
-        .select(
-            F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "token"
-        )
+    tok = tok.filter(
+        (F.col("doc") % mod_a == 0) | (F.col("doc") % mod_b == 0)
     )
-    tb = (
-        tok.join(sizes, "doc")
-        .filter(F.col("doc") % mod_b == 0)
-        .select(
-            F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "token"
-        )
+    sized = tok.withColumn(
+        "n", F.count("*").over(Window.partitionBy("doc"))
+    )
+    ta = sized.filter(F.col("doc") % mod_a == 0).select(
+        F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "token"
+    )
+    tb = sized.filter(F.col("doc") % mod_b == 0).select(
+        F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "token"
     )
     inter = (
         ta.join(tb, "token")
@@ -345,16 +422,21 @@ def connected_components(
     """
     from pyspark.sql import functions as F
 
-    # undirected edge list + self-loops
+    # undirected edge list, materialized ONCE: every iteration joins
+    # against it, and without the checkpoint each iteration's job
+    # re-ran the entire upstream edge pipeline (for LSH/Jaccard edges,
+    # the full token/signature computation) from the parquet scan
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = fwd.unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint()
     )
+    comp_type = labels.schema["component"].dataType
     for _ in range(max_iter):
         # propagate the min label across one hop
         prop = (
@@ -362,20 +444,34 @@ def connected_components(
             .select(F.col("b").alias("node"),
                     F.col("component").alias("cand"))
         )
+        # carry each node's previous label through the aggregate (the
+        # labels row contributes it; min ignores the prop rows' NULL)
+        # so convergence is read off the checkpointed result with a
+        # metadata-cheap scan instead of a second full propagation job
+        # — the old shape ran the join+agg twice per iteration (once
+        # for the changed-count, once for the checkpoint) plus a
+        # label-vs-label join
+        merged = labels.select(
+            "node",
+            F.col("component").alias("cand"),
+            F.col("component").alias("old"),
+        ).unionByName(
+            prop.withColumn("old", F.lit(None).cast(comp_type))
+        )
         new_labels = (
-            labels.select("node", F.col("component").alias("cand"))
-            .unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("cand").alias("component"))
+            merged.groupBy("node")
+            .agg(
+                F.min("cand").alias("component"),
+                F.min("old").alias("old"),
+            )
+            .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") < F.col("old"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc"), "component")
