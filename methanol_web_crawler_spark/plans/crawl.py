@@ -331,6 +331,11 @@ class SparkCrawler:
             for b in (c.dynamic_url, c.extless_url, c.dir_url,
                       c.unknown_url)
         )
+        # static plan pruning: route == "external" is only reachable
+        # when some crawler is EXTERNAL (route_of, admission.py) — for
+        # everyone else the per-round parked bookkeeping (persist +
+        # cadenced checkpoint) is dead weight and is dropped outright
+        self.any_external = any(c.external for c in config.crawlers)
         # S9 writefile sink: a parser+handler filetype fetches through
         # the handler (worker.c:765-771), which saves the body under a
         # dedup-suffixed basename and hands the FILENAME to the parser
@@ -402,10 +407,26 @@ class SparkCrawler:
             self.bloom = None
 
         # the docs table is the synthetic web; only the columns a
-        # round needs are projected (column pruning reaches the scan)
+        # round needs are projected (column pruning reaches the scan).
+        # The fetch join runs EVERY round against this table — laying
+        # it out hash-partitioned + sorted by the join key ONCE (state
+        # setup, like the robots bootstrap below) removes the
+        # docs-side Exchange+Sort from every round's sort-merge fetch
+        # join: only the (small) wave side shuffles into the docs
+        # layout. This is the engine-side twin of the bucketed seen
+        # table. METHANOL_DOCS_PREPARTITION=0 restores the raw scan.
         self.docs = docs.select(
             "doc_id", "spans", "content_type", "status", "location"
         )
+        if os.environ.get("METHANOL_DOCS_PREPARTITION", "1") != "0":
+            n_shuffle = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            self.docs = (
+                self.docs.repartition(n_shuffle, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .persist()
+            )
         self.docs_ct = docs.select("doc_id", "content_type")
         # robots side-table: the reference keeps per-host robots state
         # on the host struct (worker.c:269-283 fetches robots.txt once
@@ -440,6 +461,35 @@ class SparkCrawler:
                 )
                 .localCheckpoint()
             )
+            # cheap count on the just-materialized blocks: feeds the
+            # broadcast gate below (bootstrap state setup)
+            self._n_robots = self.robots_cache.count()
+        else:
+            self._n_robots = 0
+
+        # scale-adaptive physical-plan gates. localCheckpointed state
+        # frames (hosts/jail/seen) carry NO size statistics, so the
+        # planner sort-merge-joins even a 200-row hosts table — both
+        # sides exchanged+sorted every round. The driver tracks the
+        # row counts it already knows (counts over materialized
+        # checkpoints are metadata-cheap) and hints broadcast while
+        # the state is below `broadcast_state_max` rows; past it —
+        # the 100 TB regime — the plan falls back to the exchange/
+        # bucketed path automatically. Checkpoint partition counts
+        # derive from tracked row counts (~rows_per_part rows each,
+        # capped at defaultParallelism) instead of a flat
+        # defaultParallelism: a 3k-row local frontier stops costing 32
+        # near-empty tasks per round while a 10^9-row frontier keeps
+        # full parallelism.
+        self.broadcast_state_max = int(os.environ.get(
+            "METHANOL_BROADCAST_STATE_MAX", "1000000"
+        ))
+        self.checkpoint_rows_per_part = int(os.environ.get(
+            "METHANOL_CHECKPOINT_ROWS_PER_PART", "100000"
+        ))
+        self._n_hosts: Optional[int] = None
+        self._n_jail: Optional[int] = None
+        self._n_seen_est: Optional[int] = None
 
     # -- seed admission (driver-side; seeds are tiny) -------------------
 
@@ -488,6 +538,9 @@ class SparkCrawler:
             F.xxhash64("seen_key").alias("key_hash"),
             F.lit(0).alias("first_round"),
         )
+        # exact driver-side bootstrap count for the seen-broadcast
+        # gate (per-round admitted deltas keep it current in _loop)
+        self._n_seen_est = len(seed_seen)
         # seed keys that were admitted but routed away still occupy
         # the seen set
         extra = [k for k in seed_seen
@@ -509,6 +562,23 @@ class SparkCrawler:
     def _politeness_split(self, elig: DataFrame) -> Tuple[DataFrame, DataFrame]:
         return politeness_split(elig, self.budget, self.salt_k)
 
+    # -- scale-adaptive plan gates ---------------------------------------
+
+    def _maybe_broadcast(self, df: DataFrame, n: Optional[int]):
+        """Broadcast-hint ``df`` when its driver-tracked row count is
+        known and small; otherwise leave the planner's exchange path
+        (the correct one once the state outgrows executor memory)."""
+        if n is not None and n <= self.broadcast_state_max:
+            return F.broadcast(df)
+        return df
+
+    def _n_parts(self, est_rows: int) -> int:
+        """Checkpoint partition count from an estimated row count."""
+        cap = self.spark.sparkContext.defaultParallelism
+        return max(
+            1, min(cap, est_rows // self.checkpoint_rows_per_part + 1)
+        )
+
     # -- robots / jail ----------------------------------------------------
 
     def _update_hosts(
@@ -526,7 +596,7 @@ class SparkCrawler:
         )
         fetched = (
             new_hosts.join(
-                self.robots_cache,
+                self._maybe_broadcast(self.robots_cache, self._n_robots),
                 F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
                 == F.col("robots_url"),
                 "left",
@@ -559,8 +629,15 @@ class SparkCrawler:
                     "seen_key", "left_anti",
                 )
             return out
+        # driver-tracked seen size gates a broadcast anti-join (no
+        # exchange on either side) while the set is small; seed crawls
+        # track it exactly (bootstrap count + per-round admitted
+        # deltas), frontier/resume entries leave it None -> exchange
         return cand.join(
-            seen.select("seen_key"), "seen_key", "left_anti"
+            self._maybe_broadcast(
+                seen.select("seen_key"), self._n_seen_est
+            ),
+            "seen_key", "left_anti",
         )
 
     def _maybe_compact_seen(self, r: int) -> None:
@@ -971,6 +1048,9 @@ class SparkCrawler:
                 # new hosts only enter at depth 0 (worker.c:269-283)
                 hosts = self._update_hosts(hosts, selected, r)
                 hosts = hosts.localCheckpoint()
+                # metadata-cheap on the materialized blocks; feeds the
+                # broadcast gate for the per-round robots join
+                self._n_hosts = hosts.count()
 
             # gates -----------------------------------------------------
             gated = selected
@@ -980,7 +1060,11 @@ class SparkCrawler:
                         jail.select("host"), "host", "left_anti"
                     )
                     jail = jail.unionByName(new_jail).localCheckpoint()
-                gated = gated.join(jail, "host", "left")
+                    self._n_jail = jail.count()
+                gated = gated.join(
+                    self._maybe_broadcast(jail, self._n_jail),
+                    "host", "left",
+                )
                 dir_region = F.expr(
                     "lower(substring(url, host_o + host_l + 1,"
                     " greatest(file_o - host_o - host_l, 0)))"
@@ -997,7 +1081,10 @@ class SparkCrawler:
                 # no Python in the gate (NULL/empty rules coalesce to
                 # allow, matching parse_robots of an absent body)
                 gated = (
-                    gated.join(hosts, "host", "left")
+                    gated.join(
+                        self._maybe_broadcast(hosts, self._n_hosts),
+                        "host", "left",
+                    )
                     .withColumn("robots_ok", robots_gate_expr())
                     .filter(F.col("robots_ok"))
                     .drop("rules", "robots_ok")
@@ -1038,18 +1125,27 @@ class SparkCrawler:
             fetched = ordered.join(
                 docs_side, ordered.url == docs_side.doc_id, "left"
             ).drop("doc_id")
-            # persist is the MEASURED winner even for single-consumer
-            # rounds (8-core mega-round A/B: 151 s cached vs 200 s
-            # uncached in adjacent windows — the un-cached variant
-            # recomputes the politeness/robots chain for the fetch
-            # count and loses stage pipelining between the join and
-            # the downstream window); METHANOL_FETCH_PERSIST=0 keeps
-            # the experiment reproducible.
+            # materializing here is the MEASURED winner even for
+            # single-consumer rounds (8-core mega-round A/B: 151 s
+            # cached vs 200 s uncached in adjacent windows — the
+            # un-cached variant recomputes the politeness/robots chain
+            # for the fetch count); localCheckpoint rather than
+            # persist because EVERY downstream exec (candidates
+            # checkpoint, crawl-log/attr appends, the fetch count)
+            # otherwise re-embeds and re-optimizes the full fetch-join
+            # logical plan — measured ~95 KB of plan text per exec,
+            # thrice per round, the dominant driver-side cost of a
+            # small round. The checkpointed frame's plan IS its
+            # materialized blocks. METHANOL_FETCH_PERSIST=0 keeps the
+            # no-materialization experiment reproducible.
             fetched_cached = os.environ.get(
                 "METHANOL_FETCH_PERSIST", "1"
             ) != "0"
             if fetched_cached:
-                fetched = fetched.persist()
+                fetched = fetched.localCheckpoint()
+                n_fetched = fetched.count()
+            else:
+                n_fetched = None
 
             # crawl log (S11) -------------------------------------------
             if self.store:
@@ -1200,6 +1296,13 @@ class SparkCrawler:
             admitted = admitted.localCheckpoint()
             for c in round_caches:
                 c.unpersist()
+            if (self._n_seen_est is not None
+                    and self._n_seen_est <= self.broadcast_state_max):
+                # metadata-cheap on the checkpointed delta: keeps the
+                # seen-broadcast gate's row count exact; once the gate
+                # is past the threshold it stays off (seen only
+                # grows), so the count job stops too
+                self._n_seen_est += admitted.count()
 
             # seen delta --------------------------------------------------
             seen_delta = admitted.select(
@@ -1244,13 +1347,16 @@ class SparkCrawler:
             frontier_add = frontier_add.filter(cond)
             frontier_add = frontier_add.select(*FRONTIER_COLS)
 
-            external_add = admitted.filter(
-                F.col("route") == "external"
-            ).select(*FRONTIER_COLS)
-            if parked is None:
-                parked = external_add.persist()
-            else:
-                parked = parked.unionByName(external_add).persist()
+            if self.any_external:
+                external_add = admitted.filter(
+                    F.col("route") == "external"
+                ).select(*FRONTIER_COLS)
+                if parked is None:
+                    parked = external_add.persist()
+                else:
+                    parked = parked.unionByName(
+                        external_add
+                    ).persist()
 
             new_pending = deferred.select(*FRONTIER_COLS).unionByName(
                 rest.select(*FRONTIER_COLS)
@@ -1275,8 +1381,12 @@ class SparkCrawler:
                 # tens of thousands of near-empty tasks (measured:
                 # a 36k-task stage on an 81-round politeness crawl).
                 # coalesce is a narrow dep: no shuffle, just fewer,
-                # fuller tasks.
-                n_part = spark.sparkContext.defaultParallelism
+                # fuller tasks. The target derives from the known
+                # frontier size (2x headroom for this round's growth)
+                # instead of a flat defaultParallelism: a few-thousand-
+                # row local frontier checkpoints as ONE task while a
+                # cluster-scale frontier keeps full parallelism.
+                n_part = self._n_parts(2 * n_pending)
                 pending = new_pending.coalesce(
                     n_part
                 ).localCheckpoint()
@@ -1296,7 +1406,14 @@ class SparkCrawler:
                 # checkpoint on a cadence, accumulate flat unions of
                 # already-truncated deltas in between
                 if r % 8 == 7:
-                    # same partition-snowball guard as the frontier
+                    # same partition-snowball guard as the frontier.
+                    # NOT sized down to the tracked row count: a
+                    # single-task coalesce(1) over the many-delta seen
+                    # union measured 7-9 s of BLOCKED (not computing —
+                    # ~120 ms CPU) time in the one task, reproducibly;
+                    # the cadenced checkpoint is once per 8 rounds, so
+                    # defaultParallelism tasks are cheap and sidestep
+                    # whatever serial block-read wait that was.
                     seen = new_seen.coalesce(
                         spark.sparkContext.defaultParallelism
                     ).localCheckpoint()
@@ -1310,10 +1427,10 @@ class SparkCrawler:
                 # full rewrite (O(total parked) driver job) is waste
                 parked = parked.localCheckpoint()
 
-            # cheap now: fetched/admitted are cached by the checkpoint
-            n_fetched = (
-                fetched.count() if fetched_cached else ordered.count()
-            )
+            # n_fetched was counted off the fetch checkpoint above;
+            # the uncached A/B path pays the recompute here as before
+            if n_fetched is None:
+                n_fetched = ordered.count()
             stats.fetched += n_fetched
             n_admitted = n_targets = 0
             if self.collect_metrics:
@@ -1378,8 +1495,9 @@ class SparkCrawler:
                     r + 1, collect_lineage=False,
                 )
 
-            if fetched_cached:
-                fetched.unpersist()
+            # fetched is localCheckpointed — its blocks free via the
+            # ContextCleaner when the reference drops next round (the
+            # same lifecycle the other checkpointed frames use)
             if self.budget:
                 selected.unpersist()
             admitted.unpersist()

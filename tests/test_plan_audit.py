@@ -80,7 +80,12 @@ class TestDedupPlans:
         plan = formatted_plan(minhash_signatures(d, "doc_id", "text"))
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
-        assert "HashAggregate" in plan
+        # round 6: signatures are a within-row projection (array_min
+        # over the hashed token array) — not only JVM-side but
+        # shuffle-free; a HashAggregate/Exchange reappearing means the
+        # groupBy shape regressed
+        assert "Exchange" not in plan
+        assert "array_min" in plan
 
     def test_textstats_jvm_side(self, spark):
         from methanol_web_crawler_spark.functions.textstats import (
