@@ -172,6 +172,18 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc", F.explode(band_structs).alias("bb")
     ).select("doc", "bb.band", "bb.bucket")
+    # explicit bucket-keyed repartition instead of letting the window/
+    # join demand the exchange: AQE sizes post-shuffle partitions by
+    # INPUT bytes, but this stage's output is QUADRATIC in bucket size
+    # (each bucket emits O(n^2) pairs), so input-sized coalescing
+    # systematically under-parallelizes the pair generation (measured:
+    # a ~9 MB banded shuffle coalesced to 4 tasks that then wrote
+    # 70 MB of pairs in 2.7 s; uncoalesced, the same work spreads over
+    # shuffle.partitions tasks). A user repartition is never coalesced.
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    banded = banded.repartition(n_shuffle, "band", "bucket")
     if max_bucket_size:
         # same shuffle key as the self-join below, so the window's
         # exchange is reused rather than added
@@ -374,6 +386,15 @@ def embedding_cosine_pairs_lsh(
         )
         .withColumn("norm", _norm(F.col("vec")))
         .withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+    )
+    # same rationale as minhash_lsh_pairs: pair output is quadratic in
+    # bucket size, so keep the bucket exchange at full width instead
+    # of letting AQE coalesce it by (small) input bytes
+    base = base.repartition(
+        int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"
+        )),
+        "bucket",
     )
     if max_bucket_size:
         wb = Window.partitionBy("bucket")

@@ -35,7 +35,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1142,8 +1142,13 @@ class SparkCrawler:
                 "METHANOL_FETCH_PERSIST", "1"
             ) != "0"
             if fetched_cached:
-                fetched = fetched.localCheckpoint()
-                n_fetched = fetched.count()
+                # the fetch count rides along the checkpoint job as an
+                # observed metric instead of a second job
+                obs_f = Observation(f"fetch_r{r}")
+                fetched = fetched.observe(
+                    obs_f, F.count(F.lit(1)).alias("n")
+                ).localCheckpoint()
+                n_fetched = obs_f.get["n"]
             else:
                 n_fetched = None
 
@@ -1293,16 +1298,25 @@ class SparkCrawler:
             # downstream (seen delta, targets, frontier add, parked)
             # then reads a materialized scan instead of re-nesting the
             # whole round pipeline — keeps all cross-round plans flat
+            track_seen = (
+                self._n_seen_est is not None
+                and self._n_seen_est <= self.broadcast_state_max
+            )
+            if track_seen:
+                # the admitted count (the seen delta size) rides along
+                # the checkpoint as an observed metric — keeps the
+                # seen-broadcast gate's row count exact at zero extra
+                # jobs; once the gate is past the threshold it stays
+                # off (seen only grows), so the tracking stops too
+                obs_a = Observation(f"admit_r{r}")
+                admitted = admitted.observe(
+                    obs_a, F.count(F.lit(1)).alias("n")
+                )
             admitted = admitted.localCheckpoint()
             for c in round_caches:
                 c.unpersist()
-            if (self._n_seen_est is not None
-                    and self._n_seen_est <= self.broadcast_state_max):
-                # metadata-cheap on the checkpointed delta: keeps the
-                # seen-broadcast gate's row count exact; once the gate
-                # is past the threshold it stays off (seen only
-                # grows), so the count job stops too
-                self._n_seen_est += admitted.count()
+            if track_seen:
+                self._n_seen_est += obs_a.get["n"]
 
             # seen delta --------------------------------------------------
             seen_delta = admitted.select(
